@@ -1,0 +1,340 @@
+"""Core Flax building blocks for the SVD spatio-temporal architecture.
+
+Channel layout is TPU-native NHWC / (B, F, H, W, C) throughout — unlike the
+reference's NCHW torch modules. Parameter names mirror the HF diffusers
+state_dict structure (to_q/to_k/to_v/to_out, norm1/conv1/..., net_0/net_2)
+so the HF->flax checkpoint converter (ctrlv_tpu.train.hf_import) is a pure
+rename + transpose.
+
+Behavioral spec sources (studied, not copied):
+  /root/reference/src/ctrlv/models/unet_spatio_temporal_condition.py (usage)
+  SURVEY.md §2.8 (external diffusers components the rebuild must provide).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+def get_timestep_embedding(
+    timesteps: jnp.ndarray,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings (diffusers `Timesteps` semantics).
+
+    Always computed in fp32 — the reference relies on this for numerics
+    (t_emb cast happens after the table lookup).
+    """
+    timesteps = jnp.asarray(timesteps, dtype=jnp.float32)
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps[:, None] * emb[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer SiLU MLP lifting a sinusoidal embedding to time_embed_dim."""
+
+    time_embed_dim: int
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray) -> jnp.ndarray:
+        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        sample = nn.silu(sample)
+        out_dim = self.out_dim or self.time_embed_dim
+        sample = nn.Dense(out_dim, dtype=self.dtype, name="linear_2")(sample)
+        return sample
+
+
+class AlphaBlender(nn.Module):
+    """Learned spatial/temporal mix: x = a*spatial + (1-a)*temporal.
+
+    merge_strategy:
+      "learned_with_images" — a = sigmoid(mix_factor), forced to 1 where
+        image_only_indicator is set (UNet blocks).
+      "learned" — a = sigmoid(mix_factor) unconditionally (VAE decoder).
+    switch_spatial_to_temporal_mix swaps the roles (ResBlocks use it).
+    """
+
+    alpha: float = 0.5
+    merge_strategy: str = "learned_with_images"
+    switch_spatial_to_temporal_mix: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x_spatial: jnp.ndarray,
+        x_temporal: jnp.ndarray,
+        image_only_indicator: Optional[jnp.ndarray] = None,
+        ndims_after_batch_frames: int = 0,
+    ) -> jnp.ndarray:
+        mix_factor = self.param(
+            "mix_factor", lambda rng: jnp.array([self.alpha], dtype=jnp.float32)
+        )
+        alpha = jax.nn.sigmoid(mix_factor.astype(jnp.float32))[0]
+        if self.merge_strategy == "learned_with_images":
+            assert image_only_indicator is not None
+            # (B, F) bool-ish -> broadcast over flattened (B*F, ...) leading dim
+            is_image = image_only_indicator.reshape(-1).astype(bool)
+            alpha = jnp.where(is_image, 1.0, alpha)
+            alpha = alpha.reshape(alpha.shape + (1,) * ndims_after_batch_frames)
+        elif self.merge_strategy != "learned":
+            raise ValueError(self.merge_strategy)
+        alpha = alpha.astype(x_spatial.dtype)
+        if self.switch_spatial_to_temporal_mix:
+            alpha = 1.0 - alpha
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class Attention(nn.Module):
+    """Multi-head attention matching diffusers' `Attention` semantics.
+
+    Input (B, S, C); optional context (B, T, C_ctx) for cross-attention.
+    """
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    cross_attention_dim: Optional[int] = None
+    qkv_bias: bool = False
+    out_bias: bool = True
+    residual_connection: bool = False
+    norm_num_groups: Optional[int] = None  # VAE-style pre-GN
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, hidden_states: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        residual = hidden_states
+        inner_dim = self.heads * self.dim_head
+
+        if self.norm_num_groups is not None:
+            hidden_states = nn.GroupNorm(
+                num_groups=self.norm_num_groups,
+                epsilon=self.eps,
+                dtype=jnp.float32,
+                name="group_norm",
+            )(hidden_states).astype(self.dtype)
+
+        ctx = hidden_states if context is None else context
+        q = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(
+            hidden_states
+        )
+        k = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
+
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, sk, self.heads, self.dim_head)
+        v = v.reshape(b, sk, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, sq, inner_dim)
+        out = nn.Dense(
+            self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0"
+        )(out)
+        if self.residual_connection:
+            out = out + residual
+        return out
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """diffusers FeedForward: GEGLU -> Dense, mult=4."""
+
+    dim: int
+    dim_out: Optional[int] = None
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        x = nn.Dense(self.dim_out or self.dim, dtype=self.dtype, name="net_2")(x)
+        return x
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN transformer block: self-attn, (cross-attn), GEGLU FF."""
+
+    dim: int
+    num_attention_heads: int
+    attention_head_dim: int
+    cross_attention_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, hidden_states: jnp.ndarray, encoder_hidden_states: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        def ln(name):
+            return nn.LayerNorm(dtype=jnp.float32, name=name)
+
+        attn_kwargs = dict(
+            query_dim=self.dim,
+            heads=self.num_attention_heads,
+            dim_head=self.attention_head_dim,
+            dtype=self.dtype,
+        )
+        h = ln("norm1")(hidden_states).astype(self.dtype)
+        hidden_states = Attention(name="attn1", **attn_kwargs)(h) + hidden_states
+
+        if self.cross_attention_dim is not None:
+            h = ln("norm2")(hidden_states).astype(self.dtype)
+            hidden_states = (
+                Attention(
+                    cross_attention_dim=self.cross_attention_dim,
+                    name="attn2",
+                    **attn_kwargs,
+                )(h, context=encoder_hidden_states)
+                + hidden_states
+            )
+
+        h = ln("norm3")(hidden_states).astype(self.dtype)
+        hidden_states = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + hidden_states
+        return hidden_states
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Temporal transformer block operating over the frame axis.
+
+    Input (B*S, F, C) — pixels batched, frames as sequence. Mirrors the
+    reference semantics: ff_in residual, self-attn over frames, cross-attn
+    to the first-frame CLIP context, FF out (SURVEY.md §2.8).
+    """
+
+    dim: int
+    num_attention_heads: int
+    attention_head_dim: int
+    cross_attention_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, hidden_states: jnp.ndarray, encoder_hidden_states: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        def ln(name):
+            return nn.LayerNorm(dtype=jnp.float32, name=name)
+
+        attn_kwargs = dict(
+            query_dim=self.dim,
+            heads=self.num_attention_heads,
+            dim_head=self.attention_head_dim,
+            dtype=self.dtype,
+        )
+
+        residual = hidden_states
+        h = ln("norm_in")(hidden_states).astype(self.dtype)
+        hidden_states = FeedForward(self.dim, dtype=self.dtype, name="ff_in")(h) + residual
+
+        h = ln("norm1")(hidden_states).astype(self.dtype)
+        hidden_states = Attention(name="attn1", **attn_kwargs)(h) + hidden_states
+
+        if self.cross_attention_dim is not None:
+            h = ln("norm2")(hidden_states).astype(self.dtype)
+            hidden_states = (
+                Attention(
+                    cross_attention_dim=self.cross_attention_dim,
+                    name="attn2",
+                    **attn_kwargs,
+                )(h, context=encoder_hidden_states)
+                + hidden_states
+            )
+
+        h = ln("norm3")(hidden_states).astype(self.dtype)
+        hidden_states = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + hidden_states
+        return hidden_states
+
+
+def group_norm(x: jnp.ndarray, num_groups: int, eps: float, dtype, name: str):
+    """fp32 GroupNorm followed by a cast back to compute dtype."""
+    return nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=jnp.float32, name=name)
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv downsampler (padding=1, diffusers UNet flavor)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.out_channels,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class DownsampleVAE2D(nn.Module):
+    """VAE-encoder downsampler: asymmetric pad (0,1) then 3x3 stride-2, pad=0."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.out_channels,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """2x nearest upsample + 3x3 conv."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.out_channels,
+            kernel_size=(3, 3),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
