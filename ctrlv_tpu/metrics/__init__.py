@@ -1,0 +1,13 @@
+from .iou import binary_mask_iou, binary_mask_iou_batch
+from .fandj import db_eval_iou, db_eval_boundary, f_measure
+from .image import ssim, psnr
+
+__all__ = [
+    "binary_mask_iou",
+    "binary_mask_iou_batch",
+    "db_eval_iou",
+    "db_eval_boundary",
+    "f_measure",
+    "ssim",
+    "psnr",
+]

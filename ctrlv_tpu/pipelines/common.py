@@ -1,0 +1,136 @@
+"""Shared pipeline machinery: conditioning encoders, latent prep, CFG.
+
+Behavioral spec: the diffusers StableVideoDiffusionPipeline internals the
+reference inherits (SURVEY.md §2.2 'Inherited-from-diffusers behavior'):
+_encode_image (CLIP, zero negative for CFG), _encode_vae_image (zero
+negative), prepare_latents (*init_noise_sigma), _get_add_time_ids,
+decode_latents (chunked, /scaling_factor), per-frame guidance linspace
+(/root/reference/src/ctrlv/pipelines/pipeline_video_control.py:287-292).
+
+All functions are pure/jit-friendly; the pipeline classes wire them into a
+single jitted program per (shape, steps) signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.clip_vision import clip_preprocess
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Static sampling knobs (part of the jit cache key)."""
+
+    num_frames: int = 25
+    num_inference_steps: int = 25
+    min_guidance_scale: float = 1.0
+    max_guidance_scale: float = 3.0
+    fps: int = 7
+    motion_bucket_id: int = 127
+    noise_aug_strength: float = 0.02
+    decode_chunk_size: Optional[int] = 8
+    num_cond_bbox_frames: int = 3  # stage-1 latent substitution
+    control_condition_scale: float = 1.0  # stage-2 ControlNet scale
+
+    @property
+    def do_cfg(self) -> bool:
+        return self.max_guidance_scale > 1.0
+
+
+def encode_clip_image(image_encoder, clip_params, image, do_cfg: bool):
+    """[-1,1] (B,H,W,3) -> (2B or B, 1, proj_dim) CLIP embeddings.
+
+    CFG negative = zeros (diffusers `_encode_image` semantics).
+    """
+    pixel = clip_preprocess(image)
+    emb = image_encoder.apply(clip_params, pixel)[:, None, :]  # (B,1,D)
+    if do_cfg:
+        emb = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
+    return emb
+
+
+def encode_vae_image(vae, vae_params, image, noise, noise_aug_strength, do_cfg):
+    """Initial frame -> VAE mode latent (no scaling_factor, SVD convention),
+    with noise augmentation; CFG negative = zeros."""
+    image = image + noise_aug_strength * noise
+    latent = vae.apply(vae_params, image, method=vae.encode)
+    if do_cfg:
+        latent = jnp.concatenate([jnp.zeros_like(latent), latent], axis=0)
+    return latent
+
+
+def encode_vae_video(vae, vae_params, frames, do_cfg):
+    """(B,F,H,W,3) conditioning frames -> (2B|B,F,h,w,4) mode latents.
+
+    Mirrors `_encode_vae_condition` (pipeline_video_control.py:71-101):
+    per-frame encode, `.mode()` (deterministic), zero negative for CFG.
+    """
+    b, f = frames.shape[:2]
+    flat = frames.reshape((b * f,) + frames.shape[2:])
+    lat = vae.apply(vae_params, flat, method=vae.encode)
+    lat = lat.reshape((b, f) + lat.shape[1:])
+    if do_cfg:
+        lat = jnp.concatenate([jnp.zeros_like(lat), lat], axis=0)
+    return lat
+
+
+def get_add_time_ids(cfg: SamplingConfig, batch_size: int, do_cfg: bool):
+    """(fps-1, motion_bucket_id, noise_aug) micro-conditioning rows."""
+    row = jnp.asarray(
+        [[cfg.fps - 1, cfg.motion_bucket_id, cfg.noise_aug_strength]], jnp.float32
+    )
+    ids = jnp.tile(row, (batch_size, 1))
+    if do_cfg:
+        ids = jnp.concatenate([ids, ids], axis=0)
+    return ids
+
+
+def prepare_latents(rng, batch, num_frames, h, w, channels, init_noise_sigma, dtype):
+    noise = jax.random.normal(rng, (batch, num_frames, h, w, channels), dtype)
+    return noise * init_noise_sigma
+
+
+def guidance_linspace(cfg: SamplingConfig, batch: int, num_frames: int, minmax=None):
+    """Per-frame CFG weight, (B, F, 1, 1, 1).
+
+    `minmax` (B, 2) overrides the static config ramp per sample — this is
+    how the overall pipeline batches its 5 guidance pairs into one call.
+    """
+    if minmax is None:
+        g = jnp.linspace(cfg.min_guidance_scale, cfg.max_guidance_scale, num_frames)
+        g = jnp.tile(g[None], (batch, 1))
+    else:
+        ramp = jnp.linspace(0.0, 1.0, num_frames)
+        g = minmax[:, 0:1] + (minmax[:, 1:2] - minmax[:, 0:1]) * ramp[None]
+    return g[..., None, None, None]
+
+
+def decode_latents(vae, vae_params, latents, scaling_factor, decode_chunk_size=None):
+    """(B,F,h,w,4) -> (B,F,H,W,3) in [-1,1], chunked like the reference.
+
+    The temporal decoder's frame conv sees `chunk` frames at a time, so
+    decode_chunk_size is *behavioral* (reference always uses 8:
+    tools/eval_overall.py:88), not just a memory knob.
+    """
+    b, f = latents.shape[:2]
+    latents = latents / scaling_factor
+    chunk = decode_chunk_size or f
+    outs = []
+    for start in range(0, f, chunk):
+        piece = latents[:, start : start + chunk]
+        n = piece.shape[1]
+        flat = piece.reshape((b * n,) + piece.shape[2:])
+        dec = vae.apply(vae_params, flat, n, method=vae.decode)
+        outs.append(dec.reshape((b, n) + dec.shape[1:]))
+    return jnp.concatenate(outs, axis=1)
+
+
+def postprocess_frames(frames):
+    """[-1,1] -> [0,1] clamp (tensor2vid 'pt' output parity)."""
+    return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)

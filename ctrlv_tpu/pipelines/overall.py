@@ -1,0 +1,135 @@
+"""Overall two-stage eval pipeline: 5-candidate bbox prediction + Box2Video.
+
+Behavioral parity: /root/reference/tools/eval_overall.py:66-188 —
+  - 5 bbox-video candidates per input with guidance (min,max) in
+    {(1,2),(1,3),(2,4),(2,5),(3,5)}, 30 steps (:83-95),
+  - darkness cleanup: pixels with channel-sum < 50/255 zeroed; interior
+    frames whose *every* pixel is bright get zeroed entirely (:96-104),
+  - best candidate by clip mask-IoU vs GT bbox frames (:106-114),
+  - Box2Video on the winner with cond = 2*(best-0.5) (:152-163).
+
+TPU-native: the 5 candidates run as ONE batched stage-1 call (per-sample
+guidance ramps are a runtime (B,2) array, so one compiled program covers
+all pairs), and selection happens on device via binary_mask_iou_batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics.iou import binary_mask_iou, binary_mask_iou_batch
+from .video_control import StableVideoControlPipeline
+from .video_diffusion import VideoDiffusionPipeline
+
+GUIDANCE_PAIRS = ((1.0, 2.0), (1.0, 3.0), (2.0, 4.0), (2.0, 5.0), (3.0, 5.0))
+
+
+def darkness_cleanup(frames: jnp.ndarray, threshold: float = 50.0 / 255.0) -> jnp.ndarray:
+    """Zero near-black pixels; zero interior frames that are entirely bright.
+
+    frames: (N, F, H, W, 3) in [0,1].
+    """
+    channel_sum = jnp.sum(frames, axis=-1, keepdims=True)
+    frames = jnp.where(channel_sum < threshold, 0.0, frames)
+    # interior frames where min channel-sum over pixels > threshold => broken
+    min_sum = jnp.min(jnp.sum(frames, axis=-1), axis=(-2, -1))  # (N, F)
+    broken = min_sum > threshold
+    f = frames.shape[1]
+    interior = (jnp.arange(f) > 0) & (jnp.arange(f) < f - 1)
+    kill = broken & interior[None, :]
+    return jnp.where(kill[:, :, None, None, None], 0.0, frames)
+
+
+class OverallPipeline:
+    def __init__(
+        self,
+        bbox_pipeline: VideoDiffusionPipeline,
+        ctrl_pipeline: StableVideoControlPipeline,
+    ):
+        self.bbox_pipeline = bbox_pipeline
+        self.ctrl_pipeline = ctrl_pipeline
+
+    def __call__(
+        self,
+        image: jnp.ndarray,  # (H,W,3) in [-1,1], one sample
+        bbox_images: jnp.ndarray,  # (F,H,W,3) GT bbox frames in [-1,1]
+        rng: jax.Array,
+        num_frames: int = 25,
+        stage1_steps: int = 30,
+        stage2_steps: int = 25,
+        fps: int = 7,
+        noise_aug_strength: float = 0.02,
+        num_cond_bbox_frames: int = 3,
+        min_guidance_scale: float = 1.0,
+        max_guidance_scale: float = 3.0,
+        control_condition_scale: float = 1.0,
+        decode_chunk_size: int = 8,
+    ) -> Dict[str, np.ndarray]:
+        n = len(GUIDANCE_PAIRS)
+        rng1, rng2 = jax.random.split(rng)
+
+        # Stage 1: all 5 guidance pairs as one batch.
+        images = jnp.tile(image[None], (n, 1, 1, 1))
+        bboxes = jnp.tile(bbox_images[None], (n, 1, 1, 1, 1))
+        guidance = jnp.asarray(GUIDANCE_PAIRS, jnp.float32)
+        candidates = self.bbox_pipeline(
+            images,
+            bbox_images=bboxes,
+            rng=rng1,
+            guidance_minmax=guidance,
+            num_frames=num_frames,
+            num_inference_steps=stage1_steps,
+            fps=fps,
+            noise_aug_strength=noise_aug_strength,
+            num_cond_bbox_frames=num_cond_bbox_frames,
+            decode_chunk_size=decode_chunk_size,
+            min_guidance_scale=1.0,
+            max_guidance_scale=5.0,  # static fields unused when minmax given
+        )  # (5, F, H, W, 3) in [0,1]
+
+        cleaned = darkness_cleanup(candidates)
+        gt01 = jnp.clip(bbox_images / 2.0 + 0.5, 0.0, 1.0)
+        # Quantize both sides to uint8 steps for exact parity with the
+        # reference's *255/uint8 rounding before IoU.
+        gt_u8 = jnp.floor(gt01 * 255.0)
+        cand_u8 = jnp.floor(cleaned * 255.0)
+        scores = binary_mask_iou_batch(gt_u8, cand_u8)  # (5, 3): iou, p, r
+        best = int(jnp.argmax(scores[:, 0]))
+
+        best_clip = cleaned[best]  # (F,H,W,3) [0,1]
+        miou_fl = binary_mask_iou(
+            np.asarray(gt_u8[[0, num_frames - 1]]),
+            np.asarray(cand_u8[best][[0, num_frames - 1]]),
+        )
+
+        # Stage 2: Box2Video on the winner.
+        frames = self.ctrl_pipeline(
+            image[None],
+            cond_images=(2.0 * (best_clip - 0.5))[None],
+            rng=rng2,
+            num_frames=num_frames,
+            num_inference_steps=stage2_steps,
+            min_guidance_scale=min_guidance_scale,
+            max_guidance_scale=max_guidance_scale,
+            fps=fps,
+            noise_aug_strength=noise_aug_strength,
+            control_condition_scale=control_condition_scale,
+            decode_chunk_size=decode_chunk_size,
+        )[0]
+
+        iou, precision, recall = (float(x) for x in scores[best])
+        return dict(
+            video=np.asarray(frames),
+            bbox_video=np.asarray(best_clip),
+            miou=iou,
+            ap=precision,
+            ar=recall,
+            miou_first_last=miou_fl[0],
+            ap_first_last=miou_fl[1],
+            ar_first_last=miou_fl[2],
+            best_guidance=GUIDANCE_PAIRS[best],
+        )

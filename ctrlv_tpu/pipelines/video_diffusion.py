@@ -1,0 +1,168 @@
+"""Stage-1 pipeline: SVD finetune inference / bounding-box predictor.
+
+Behavioral parity target: VideoDiffusionPipeline
+(/root/reference/src/ctrlv/pipelines/pipeline_video_diffusion.py:56-315):
+  - CLIP image embedding + VAE initial-frame latent repeated across frames,
+  - optional bbox conditioning by *latent substitution*: conditioning-frame
+    latents replace image latents at frames [0:num_cond_bbox_frames] and
+    [-1] (:199-206),
+  - channel-concat conditioning, per-frame guidance linspace, Euler loop,
+  - decode + clamp.
+
+TPU-native design: the entire sampler (CLIP encode, VAE encodes, the
+denoise loop as `lax.scan`, VAE decode) is ONE jitted program per static
+(shape, steps) signature; latents are donated so the 25-step loop stays
+resident on device. CFG runs as a doubled batch through the same UNet call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion import EulerDiscreteScheduler, euler_step, scale_model_input
+from .common import (
+    SamplingConfig,
+    decode_latents,
+    encode_clip_image,
+    encode_vae_image,
+    encode_vae_video,
+    get_add_time_ids,
+    guidance_linspace,
+    postprocess_frames,
+    prepare_latents,
+)
+
+
+class VideoDiffusionPipeline:
+    """Functional pipeline: models + params in, jitted sampler cached."""
+
+    def __init__(
+        self,
+        unet,
+        unet_params,
+        vae,
+        vae_params,
+        image_encoder,
+        clip_params,
+        scheduler: Optional[EulerDiscreteScheduler] = None,
+    ):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.image_encoder = image_encoder
+        self.clip_params = clip_params
+        self.scheduler = scheduler or EulerDiscreteScheduler()
+        self._jitted = {}
+
+    # ------------------------------------------------------------------
+    def _sample_fn(self, cfg: SamplingConfig, with_bbox: bool):
+        sched_state = self.scheduler.set_timesteps(cfg.num_inference_steps)
+
+        def sample(
+            unet_params, vae_params, clip_params, image, bbox_images, rng, guidance_minmax
+        ):
+            batch = image.shape[0]
+            do_cfg = cfg.do_cfg
+            rng_noise, rng_lat = jax.random.split(rng)
+
+            # conditioning
+            clip_emb = encode_clip_image(
+                self.image_encoder, clip_params, image, do_cfg
+            )
+            noise = jax.random.normal(rng_noise, image.shape, image.dtype)
+            img_latent = encode_vae_image(
+                self.vae, vae_params, image, noise, cfg.noise_aug_strength, do_cfg
+            )
+            image_latents = jnp.repeat(img_latent[:, None], cfg.num_frames, axis=1)
+
+            if with_bbox:
+                cond_latents = encode_vae_video(
+                    self.vae, vae_params, bbox_images, do_cfg
+                )
+                # latent substitution: first K frames + last frame
+                k = cfg.num_cond_bbox_frames
+                image_latents = image_latents.at[:, 0:k].set(cond_latents[:, 0:k])
+                image_latents = image_latents.at[:, -1].set(cond_latents[:, -1])
+
+            add_time_ids = get_add_time_ids(cfg, batch, do_cfg)
+            h, w = image_latents.shape[2], image_latents.shape[3]
+            latents = prepare_latents(
+                rng_lat,
+                batch,
+                cfg.num_frames,
+                h,
+                w,
+                self.unet.config.out_channels,
+                sched_state.init_noise_sigma,
+                jnp.float32,
+            )
+            guidance = guidance_linspace(cfg, batch, cfg.num_frames, guidance_minmax)
+
+            def step(latents, i):
+                sigma = sched_state.sigmas[i]
+                sigma_next = sched_state.sigmas[i + 1]
+                t = sched_state.timesteps[i]
+                lat_in = jnp.concatenate([latents] * 2) if do_cfg else latents
+                lat_in = scale_model_input(lat_in, sigma)
+                lat_in = jnp.concatenate([lat_in, image_latents], axis=-1)
+                pred = self.unet.apply(unet_params, lat_in, t, clip_emb, add_time_ids)
+                pred = pred.astype(jnp.float32)
+                if do_cfg:
+                    uncond, cond = jnp.split(pred, 2, axis=0)
+                    pred = uncond + guidance * (cond - uncond)
+                return euler_step(pred, latents, sigma, sigma_next), None
+
+            latents, _ = jax.lax.scan(
+                step, latents, jnp.arange(cfg.num_inference_steps)
+            )
+            frames = decode_latents(
+                self.vae,
+                vae_params,
+                latents,
+                self.vae.config.scaling_factor,
+                cfg.decode_chunk_size,
+            )
+            frames = jnp.clip(frames, -1.0, 1.0)
+            return postprocess_frames(frames)
+
+        return sample
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        image: jnp.ndarray,  # (B,H,W,3) in [-1,1]
+        bbox_images: Optional[jnp.ndarray] = None,  # (B,F,H,W,3) in [-1,1]
+        rng: Optional[jax.Array] = None,
+        guidance_minmax: Optional[jnp.ndarray] = None,  # (B,2) per-sample ramp
+        **kwargs,
+    ) -> jnp.ndarray:
+        """Generate a video; returns (B, F, H, W, 3) frames in [0,1]."""
+        cfg = SamplingConfig(**kwargs)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        with_bbox = bbox_images is not None
+        key = (cfg, with_bbox, image.shape, None if not with_bbox else bbox_images.shape)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._sample_fn(cfg, with_bbox))
+        if bbox_images is None:
+            bbox_images = jnp.zeros((image.shape[0], cfg.num_frames) + image.shape[1:])
+        if guidance_minmax is None:
+            guidance_minmax = jnp.tile(
+                jnp.asarray(
+                    [[cfg.min_guidance_scale, cfg.max_guidance_scale]], jnp.float32
+                ),
+                (image.shape[0], 1),
+            )
+        return self._jitted[key](
+            self.unet_params,
+            self.vae_params,
+            self.clip_params,
+            image,
+            bbox_images,
+            rng,
+            guidance_minmax,
+        )

@@ -1,0 +1,23 @@
+from .loss import edm_denoising_loss, conditioning_dropout, sample_training_sigmas
+from .ema import ema_init, ema_update, EMAState
+from .lora import lora_init, apply_lora, merge_lora
+from .state import TrainState, make_optimizer, trainable_mask
+from .train_step import make_svd_train_step, make_controlnet_train_step, make_vae_decoder_train_step
+
+__all__ = [
+    "edm_denoising_loss",
+    "conditioning_dropout",
+    "sample_training_sigmas",
+    "ema_init",
+    "ema_update",
+    "EMAState",
+    "lora_init",
+    "apply_lora",
+    "merge_lora",
+    "TrainState",
+    "make_optimizer",
+    "trainable_mask",
+    "make_svd_train_step",
+    "make_controlnet_train_step",
+    "make_vae_decoder_train_step",
+]

@@ -1,0 +1,251 @@
+"""Jitted training steps for the three training workloads.
+
+Behavioral parity:
+  - SVD finetune / bbox predictor (train_video_diffusion.py:428-541 call
+    stack, SURVEY.md §3.1): CLIP-encode first frame, VAE-encode clip (or
+    bbox clip with `predict_bbox`), latent-substitution conditioning,
+    EDM noising + loss, conditioning dropout,
+  - ControlNet training (train_video_controlnet.py, §3.2): identical
+    except the ControlNet produces residuals and is the only trainable
+    module (the reference's 2-GPU manual split becomes a sharding no-op),
+  - VAE decoder finetune (train_vae_finetuning.py:303-314): image MSE.
+
+Each factory returns a pure (state, batch, rng) -> (state, metrics)
+function meant to be wrapped in jax.jit with donated state; under a DP
+mesh the batch is sharded and XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion import scale_model_input, training_sigma_table
+from ..models.clip_vision import clip_preprocess
+from .loss import conditioning_dropout, edm_denoising_loss
+from .state import TrainState
+
+
+def _encode_batch(vae, vae_params, clip_model, clip_params, frames, rng, scaling):
+    """frames (B,F,H,W,3) -> (latents*scale, initial-frame latent, clip emb)."""
+    b, f = frames.shape[:2]
+    rng_lat, rng_init = jax.random.split(rng)
+    flat = frames.reshape((b * f,) + frames.shape[2:])
+    latents = vae.apply(vae_params, flat, rng_lat, True, method=vae.encode)
+    latents = latents.reshape((b, f) + latents.shape[1:])
+    initial = frames[:, 0]
+    init_latent = vae.apply(vae_params, initial, rng_init, True, method=vae.encode)
+    clip_emb = clip_model.apply(clip_params, clip_preprocess(initial))[:, None, :]
+    return latents * scaling, init_latent, clip_emb
+
+
+def _build_conditioning(
+    latents_unscaled, init_latent, predict_bbox: bool, num_cond_bbox_frames: int
+):
+    """Latent-substitution conditioning (train_video_diffusion.py:445-458)."""
+    b, f = latents_unscaled.shape[:2]
+    if not predict_bbox:
+        return jnp.repeat(init_latent[:, None], f, axis=1)
+    cond = latents_unscaled
+    mid = jnp.repeat(init_latent[:, None], f, axis=1)
+    k = num_cond_bbox_frames
+    frame_idx = jnp.arange(f)[None, :, None, None, None]
+    is_mid = (frame_idx >= k) & (frame_idx < f - 1)
+    return jnp.where(is_mid, mid, cond)
+
+
+def make_svd_train_step(
+    unet,
+    vae,
+    clip_model,
+    tx: optax.GradientTransformation,
+    *,
+    predict_bbox: bool = False,
+    num_cond_bbox_frames: int = 3,
+    conditioning_dropout_prob: Optional[float] = 0.1,
+    fps: int = 7,
+    motion_bucket_id: int = 127,
+    noise_aug_strength: float = 0.02,
+    scaling_factor: float = 0.18215,
+    lora: bool = False,
+) -> Callable:
+    """Returns step(state, vae_params, clip_params, clip_frames, bbox_frames, rng).
+
+    state.params is the UNet param tree (or the LoRA tree when lora=True,
+    with the frozen base params passed via closure-free extra arg).
+    """
+    sigma_table = jnp.asarray(training_sigma_table())
+
+    def step(state: TrainState, vae_params, clip_params, clips, bbox_clips, rng, base_params=None):
+        rng_enc, rng_sigma, rng_noise, rng_drop = jax.random.split(rng, 4)
+        frames = bbox_clips if predict_bbox else clips
+        b, f = frames.shape[:2]
+
+        latents_scaled, init_latent, clip_emb = _encode_batch(
+            vae, vae_params, clip_model, clip_params, frames, rng_enc, scaling_factor
+        )
+        if predict_bbox:
+            # conditioning comes from bbox latents, but the *initial RGB frame*
+            # fills the middle frames; CLIP embedding from the RGB first frame.
+            rgb_init = clips[:, 0]
+            rng_enc2, rng_enc3 = jax.random.split(rng_enc)
+            init_latent = vae.apply(
+                vae_params, rgb_init, rng_enc2, True, method=vae.encode
+            )
+            clip_emb = clip_model.apply(clip_params, clip_preprocess(rgb_init))[:, None, :]
+        cond_latents = _build_conditioning(
+            latents_scaled / scaling_factor, init_latent, predict_bbox, num_cond_bbox_frames
+        )
+        target_latents = latents_scaled
+
+        idx = jax.random.randint(rng_sigma, (b,), 0, sigma_table.shape[0])
+        sigma = sigma_table[idx]
+        timesteps = 0.25 * jnp.log(sigma)
+        noise = jax.random.normal(rng_noise, target_latents.shape, jnp.float32)
+        sigma5 = sigma[:, None, None, None, None]
+        noisy = target_latents + noise * sigma5
+        inp = noisy / jnp.sqrt(sigma5**2 + 1.0)
+
+        if conditioning_dropout_prob:
+            clip_emb, cond_latents = conditioning_dropout(
+                rng_drop, clip_emb, cond_latents, conditioning_dropout_prob
+            )
+
+        add_time_ids = jnp.tile(
+            jnp.asarray(
+                [[fps - 1, motion_bucket_id, noise_aug_strength]], jnp.float32
+            ),
+            (b, 1),
+        )
+
+        def loss_fn(trainable):
+            if lora:
+                from .lora import apply_lora
+
+                unet_params = {"params": apply_lora(base_params["params"], trainable)}
+            else:
+                unet_params = trainable
+            model_in = jnp.concatenate([inp, cond_latents], axis=-1)
+            pred = unet.apply(unet_params, model_in, timesteps, clip_emb, add_time_ids)
+            return edm_denoising_loss(pred, noisy, target_latents, sigma)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def make_controlnet_train_step(
+    unet,
+    controlnet,
+    vae,
+    clip_model,
+    tx: optax.GradientTransformation,
+    *,
+    generate_bbox: bool = False,
+    conditioning_dropout_prob: Optional[float] = 0.1,
+    fps: int = 7,
+    motion_bucket_id: int = 127,
+    noise_aug_strength: float = 0.02,
+    scaling_factor: float = 0.18215,
+) -> Callable:
+    """ControlNet-only training. state.params = ControlNet params.
+
+    `generate_bbox` swaps cond/target to train the video->bbox inverse
+    (train_video_controlnet.py:369,386-394).
+    """
+    sigma_table = jnp.asarray(training_sigma_table())
+
+    def step(state: TrainState, unet_params, vae_params, clip_params, clips, bbox_clips, rng):
+        rng_enc, rng_sigma, rng_noise, rng_drop, rng_cond = jax.random.split(rng, 5)
+        target_frames, cond_frames = (
+            (bbox_clips, clips) if generate_bbox else (clips, bbox_clips)
+        )
+        b, f = target_frames.shape[:2]
+
+        latents_scaled, init_latent, clip_emb = _encode_batch(
+            vae, vae_params, clip_model, clip_params, target_frames, rng_enc,
+            scaling_factor,
+        )
+        # control conditioning: VAE-encode the conditioning clip (mode)
+        flat_cond = cond_frames.reshape((b * f,) + cond_frames.shape[2:])
+        control_cond = vae.apply(vae_params, flat_cond, method=vae.encode)
+        control_cond = control_cond.reshape((b, f) + control_cond.shape[1:])
+        image_latents = jnp.repeat(init_latent[:, None], f, axis=1)
+        target_latents = latents_scaled
+
+        idx = jax.random.randint(rng_sigma, (b,), 0, sigma_table.shape[0])
+        sigma = sigma_table[idx]
+        timesteps = 0.25 * jnp.log(sigma)
+        noise = jax.random.normal(rng_noise, target_latents.shape, jnp.float32)
+        sigma5 = sigma[:, None, None, None, None]
+        noisy = target_latents + noise * sigma5
+        inp = noisy / jnp.sqrt(sigma5**2 + 1.0)
+
+        if conditioning_dropout_prob:
+            clip_emb, image_latents = conditioning_dropout(
+                rng_drop, clip_emb, image_latents, conditioning_dropout_prob
+            )
+
+        add_time_ids = jnp.tile(
+            jnp.asarray(
+                [[fps - 1, motion_bucket_id, noise_aug_strength]], jnp.float32
+            ),
+            (b, 1),
+        )
+
+        def loss_fn(ctrl_params):
+            model_in = jnp.concatenate([inp, image_latents], axis=-1)
+            down_res, mid_res = controlnet.apply(
+                ctrl_params, model_in, timesteps, clip_emb, add_time_ids, control_cond
+            )
+            pred = unet.apply(
+                unet_params,
+                model_in,
+                timesteps,
+                clip_emb,
+                add_time_ids,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residuals=mid_res,
+            )
+            return edm_denoising_loss(pred, noisy, target_latents, sigma)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def make_vae_decoder_train_step(vae, tx: optax.GradientTransformation) -> Callable:
+    """VAE-decoder-only finetune with image MSE (train_vae_finetuning.py:303-314).
+
+    state.params = full VAE params; the optimizer is masked to decoder/*.
+    """
+
+    def step(state: TrainState, frames, rng):
+        b, f = frames.shape[:2]
+        flat = frames.reshape((b * f,) + frames.shape[2:])
+
+        def loss_fn(params):
+            z = vae.apply(params, flat, rng, True, method=vae.encode)
+            z = jax.lax.stop_gradient(z)  # encoder frozen
+            recon = vae.apply(params, z, f, method=vae.decode)
+            return jnp.mean((recon.astype(jnp.float32) - flat.astype(jnp.float32)) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return step

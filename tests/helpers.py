@@ -1,0 +1,66 @@
+"""Shared tiny-model builders for tests."""
+
+import jax
+import jax.numpy as jnp
+
+from ctrlv_tpu.models import (
+    AutoencoderKLTemporalDecoder,
+    CLIPVisionConfig,
+    CLIPVisionModelWithProjection,
+    ControlNetSpatioTemporal,
+    UNetSpatioTemporalConditionModel,
+    UNetSTConfig,
+    VAEConfig,
+)
+
+
+def build_tiny_models(rng=None, num_frames=3, image_hw=(32, 32)):
+    """Tiny UNet + VAE + CLIP (+ControlNet) with initialized params.
+
+    VAE tiny has spatial scale 2, so a 32x32 image -> 16x16 latents.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    h, w = image_hw
+
+    unet_cfg = UNetSTConfig.tiny(num_frames=num_frames)
+    vae_cfg = VAEConfig.tiny()
+    clip_cfg = CLIPVisionConfig.tiny()
+    # projection dim must equal unet cross_attention_dim
+    assert clip_cfg.projection_dim == unet_cfg.cross_attention_dim
+
+    unet = UNetSpatioTemporalConditionModel(config=unet_cfg)
+    vae = AutoencoderKLTemporalDecoder(config=vae_cfg)
+    clip = CLIPVisionModelWithProjection(config=clip_cfg)
+    ctrl = ControlNetSpatioTemporal(config=unet_cfg)
+
+    lh, lw = h // vae_cfg.spatial_scale, w // vae_cfg.spatial_scale
+    sample = jnp.zeros((1, num_frames, lh, lw, unet_cfg.in_channels))
+    enc = jnp.zeros((1, 1, unet_cfg.cross_attention_dim))
+    tids = jnp.asarray([[6.0, 127.0, 0.02]])
+    cond = jnp.zeros((1, num_frames, lh, lw, unet_cfg.in_channels // 2))
+
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    # jit the inits: eager op-by-op dispatch is pathologically slow on the
+    # single-CPU test host; jit+persistent-cache makes these near-instant.
+    unet_params = jax.jit(lambda k: unet.init(k, sample, jnp.asarray(0.5), enc, tids))(k1)
+    vae_params = jax.jit(lambda k: vae.init(k, jnp.zeros((1, h, w, 3))))(k2)
+    clip_params = jax.jit(
+        lambda k: clip.init(k, jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3)))
+    )(k3)
+    ctrl_params = jax.jit(
+        lambda k: ctrl.init(k, sample, jnp.asarray(0.5), enc, tids, cond)
+    )(k4)
+
+    return dict(
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        clip=clip,
+        clip_params=clip_params,
+        ctrl=ctrl,
+        ctrl_params=ctrl_params,
+        unet_cfg=unet_cfg,
+        vae_cfg=vae_cfg,
+        clip_cfg=clip_cfg,
+    )
