@@ -1,0 +1,113 @@
+"""Headline benchmark: 25-frame 512x320 Box2Video clip generation, one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference's metric workload (SURVEY.md §3.3 /
+BASELINE.md): StableVideoControlPipeline with CFG (guidance 1->3), 25
+Euler steps, ControlNet+UNet per step, chunked VAE decode (8). Weights are
+random (generation quality is irrelevant to wall-clock; the compute graph
+is identical). vs_baseline compares against an estimated A100 fp16
+wall-clock for the same workload (~18 s/clip: SVD-XT 25-step 25-frame at
+320x512 with a ControlNet branch); >1.0 means faster than the estimate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_EST_SEC_PER_CLIP = 18.0
+STEPS = 25
+H, W = 320, 512
+
+
+def main():
+    from ctrlv_tpu.models import (
+        AutoencoderKLTemporalDecoder,
+        CLIPVisionConfig,
+        CLIPVisionModelWithProjection,
+        ControlNetSpatioTemporal,
+        UNetSpatioTemporalConditionModel,
+        UNetSTConfig,
+        VAEConfig,
+    )
+    from ctrlv_tpu.pipelines import StableVideoControlPipeline
+
+    dtype = jnp.bfloat16
+    ucfg = UNetSTConfig()
+    vcfg = VAEConfig()
+    ccfg = CLIPVisionConfig()
+    unet = UNetSpatioTemporalConditionModel(config=ucfg, dtype=dtype)
+    ctrl = ControlNetSpatioTemporal(config=ucfg, dtype=dtype)
+    vae = AutoencoderKLTemporalDecoder(config=vcfg, dtype=dtype)
+    clip = CLIPVisionModelWithProjection(config=ccfg, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    F = ucfg.num_frames
+    h, w = H // vcfg.spatial_scale, W // vcfg.spatial_scale
+    sample = jnp.zeros((2, F, h, w, ucfg.in_channels), dtype)
+    cond = jnp.zeros((2, F, h, w, ucfg.in_channels // 2), dtype)
+    enc = jnp.zeros((2, 1, ucfg.cross_attention_dim), dtype)
+    tids = jnp.asarray([[6.0, 127.0, 0.02]] * 2, dtype)
+    t = jnp.asarray(1.0, jnp.float32)
+
+    t0 = time.time()
+    unet_params = jax.jit(lambda k: unet.init(k, sample, t, enc, tids))(rng)
+    ctrl_params = jax.jit(lambda k: ctrl.init(k, sample, t, enc, tids, cond))(rng)
+    vae_params = jax.jit(lambda k: vae.init(k, jnp.zeros((1, H, W, 3), dtype)))(rng)
+    clip_params = jax.jit(
+        lambda k: clip.init(k, jnp.zeros((1, 224, 224, 3), dtype))
+    )(rng)
+    jax.block_until_ready((unet_params, ctrl_params, vae_params, clip_params))
+    init_s = time.time() - t0
+
+    pipe = StableVideoControlPipeline(
+        unet, unet_params, ctrl, ctrl_params, vae, vae_params, clip, clip_params
+    )
+    image = jnp.zeros((1, H, W, 3), jnp.float32)
+    cond_images = jnp.zeros((1, F, H, W, 3), jnp.float32)
+
+    def run(seed):
+        return pipe(
+            image,
+            cond_images,
+            rng=jax.random.PRNGKey(seed),
+            num_frames=F,
+            num_inference_steps=STEPS,
+            min_guidance_scale=1.0,
+            max_guidance_scale=3.0,
+            decode_chunk_size=8,
+        )
+
+    t0 = time.time()
+    jax.block_until_ready(run(0))  # compile + first run
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(1, 3):
+        t0 = time.time()
+        jax.block_until_ready(run(i))
+        times.append(time.time() - t0)
+    sec_per_clip = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": "box2video_25f_512x320_sec_per_clip",
+                "value": round(sec_per_clip, 3),
+                "unit": "s/clip",
+                "vs_baseline": round(A100_EST_SEC_PER_CLIP / sec_per_clip, 3),
+                "detail": {
+                    "steps": STEPS,
+                    "init_s": round(init_s, 1),
+                    "compile_s": round(compile_s, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from functools import lru_cache
+
 from typing import List, Optional
 
 from .base import VideoDataset
@@ -98,10 +98,12 @@ class BDD100KDataset(VideoDataset):
     def get_frame_file_by_index(self, index, offset=0):
         return self.image_list[self._frame_global_index(index, offset)]
 
-    @lru_cache(maxsize=64)
     def _clip_labels(self, clip_id: str):
-        with open(os.path.join(self.bbox_label_dir, f"{clip_id}.json")) as f:
-            return json.load(f)
+        cache = self.__dict__.setdefault("_label_cache", {})
+        if clip_id not in cache:
+            with open(os.path.join(self.bbox_label_dir, f"{clip_id}.json")) as f:
+                cache[clip_id] = json.load(f)
+        return cache[clip_id]
 
     def get_labels_by_index(self, index, offset=0) -> List[dict]:
         path = self.get_frame_file_by_index(index, offset)

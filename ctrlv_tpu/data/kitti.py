@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import lru_cache
+
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -84,8 +84,10 @@ class KittiDataset(VideoDataset):
     def get_frame_file_by_index(self, index: int, offset: int = 0) -> str:
         return self.image_list[self._frame_global_index(index, offset)]
 
-    @lru_cache(maxsize=32)
     def _scene_labels(self, scene: str) -> Dict[int, list]:
+        cache = self.__dict__.setdefault("_label_cache", {})
+        if scene in cache:
+            return cache[scene]
         import pandas as pd
 
         label_file = os.path.join(
@@ -123,6 +125,7 @@ class KittiDataset(VideoDataset):
                 if len(labels) >= self.max_boxes:
                     break
             out[int(frame_id)] = labels
+        cache[scene] = out
         return out
 
     def get_labels_by_index(self, index: int, offset: int = 0):

@@ -158,6 +158,7 @@ def get_dataloader(
     if_last_frame_traj: bool = False,
     non_overlapping_clips: bool = False,
     seed: int = 0,
+    prefetch: int = 2,
     **kwargs,
 ):
     dset = build_dataset(
@@ -176,6 +177,7 @@ def get_dataloader(
         **kwargs,
     )
     loader = DataLoader(
-        dset, batch_size=batch_size, shuffle=shuffle, drop_last=True, seed=seed
+        dset, batch_size=batch_size, shuffle=shuffle, drop_last=True, seed=seed,
+        prefetch=prefetch,
     )
     return dset, loader

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import lru_cache
+
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -82,14 +82,17 @@ class VKittiDataset(VideoDataset):
     def get_frame_file_by_index(self, index: int, offset: int = 0) -> str:
         return self.image_list[self._frame_global_index(index, offset)]
 
-    @lru_cache(maxsize=64)
     def _label_tables(self, label_dir: str):
+        cache = self.__dict__.setdefault("_label_cache", {})
+        if label_dir in cache:
+            return cache[label_dir]
         import pandas as pd
 
         bbox = pd.read_csv(os.path.join(label_dir, "bbox.txt"), sep=" ")
         info = pd.read_csv(os.path.join(label_dir, "info.txt"), sep=" ")
         pose = pd.read_csv(os.path.join(label_dir, "pose.txt"), sep=" ")
-        return bbox, info, pose
+        cache[label_dir] = (bbox, info, pose)
+        return cache[label_dir]
 
     def get_labels_by_index(self, index: int, offset: int = 0) -> List[dict]:
         gidx = self._frame_global_index(index, offset)

@@ -242,3 +242,44 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         )(sample)
 
         return sample.reshape((batch_size, num_frames) + sample.shape[1:])
+
+
+class UNetSpatioTemporalConditionModelWithBBoxCond(UNetSpatioTemporalConditionModel):
+    """UNet-ST + rezero BBOXFrameAttention conditioning-frame encoder.
+
+    Behavioral parity: UNetSpatioTemporalConditionModel_with_bbox_cond
+    (/root/reference/src/ctrlv/models/unet_spatio_temporal_condition.py:
+    173-243): an 8-layer BBOXFrameAttention (heads=num_frames,
+    head_dim=out_channels) maps the first-frame latent + encoded object
+    tokens to per-frame conditioning latents via `encode_bbox_frame`.
+    """
+
+    num_bbox_attn_layers: int = 8
+
+    @nn.compact
+    def encode_bbox_frame(
+        self, frame_latent: jnp.ndarray, encoded_objects: Optional[jnp.ndarray]
+    ) -> jnp.ndarray:
+        """(B,h,w,4) + (B,F,O,D) -> (B,F,h,w,4) conditioning latents."""
+        from .bbox_attention import BBOXFrameAttention
+
+        cfg = self.config
+        b, h, w, c = frame_latent.shape
+        tokens = None
+        if encoded_objects is not None:
+            bb, f, o, d = encoded_objects.shape
+            tokens = encoded_objects.reshape(bb, f * o, d)
+        out = BBOXFrameAttention(
+            num_frames=cfg.num_frames,
+            in_channels=cfg.out_channels,
+            out_channels=cfg.out_channels * cfg.num_frames,
+            num_layers=self.num_bbox_attn_layers,
+            cross_attention_dim=None,
+            norm_num_groups=4,
+            dtype=self.dtype,
+            name="bbox_frame_attention",
+        )(frame_latent, tokens)
+        # (B, h, w, 4*F) -> (B, F, h, w, 4) (channel-major frame split,
+        # matching the reference's reshape(b, F, C, H, W))
+        out = out.reshape(b, h, w, cfg.num_frames, c)
+        return out.transpose(0, 3, 1, 2, 4)

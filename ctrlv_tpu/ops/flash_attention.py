@@ -78,10 +78,13 @@ def _flash_forward(q, k, v, scale):
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
 
     grid = (b * h, sq // block_q)
+    # off-TPU (tests, CPU dry runs) the kernel runs in interpreter mode
+    interpret = jax.devices()[0].platform != "tpu"
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -48,7 +48,7 @@ def encode_clip_image(image_encoder, clip_params, image, do_cfg: bool):
 
     CFG negative = zeros (diffusers `_encode_image` semantics).
     """
-    pixel = clip_preprocess(image)
+    pixel = clip_preprocess(image, image_size=image_encoder.config.image_size)
     emb = image_encoder.apply(clip_params, pixel)[:, None, :]  # (B,1,D)
     if do_cfg:
         emb = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)

@@ -101,9 +101,9 @@ class OverallPipeline:
         best = int(jnp.argmax(scores[:, 0]))
 
         best_clip = cleaned[best]  # (F,H,W,3) [0,1]
+        fl = [0, num_frames - 1]
         miou_fl = binary_mask_iou(
-            np.asarray(gt_u8[[0, num_frames - 1]]),
-            np.asarray(cand_u8[best][[0, num_frames - 1]]),
+            np.asarray(gt_u8)[fl], np.asarray(cand_u8)[best][fl]
         )
 
         # Stage 2: Box2Video on the winner.

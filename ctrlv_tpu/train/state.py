@@ -90,7 +90,12 @@ def make_optimizer(
         ),
     )
     if mask is not None:
-        tx = optax.masked(tx, mask)
+        # optax.masked would pass raw grads through for frozen leaves;
+        # multi_transform + set_to_zero actually freezes them.
+        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, param_labels=labels
+        )
     return tx
 
 

@@ -39,7 +39,9 @@ def _encode_batch(vae, vae_params, clip_model, clip_params, frames, rng, scaling
     latents = latents.reshape((b, f) + latents.shape[1:])
     initial = frames[:, 0]
     init_latent = vae.apply(vae_params, initial, rng_init, True, method=vae.encode)
-    clip_emb = clip_model.apply(clip_params, clip_preprocess(initial))[:, None, :]
+    clip_emb = clip_model.apply(
+        clip_params, clip_preprocess(initial, image_size=clip_model.config.image_size)
+    )[:, None, :]
     return latents * scaling, init_latent, clip_emb
 
 
@@ -96,7 +98,10 @@ def make_svd_train_step(
             init_latent = vae.apply(
                 vae_params, rgb_init, rng_enc2, True, method=vae.encode
             )
-            clip_emb = clip_model.apply(clip_params, clip_preprocess(rgb_init))[:, None, :]
+            clip_emb = clip_model.apply(
+                clip_params,
+                clip_preprocess(rgb_init, image_size=clip_model.config.image_size),
+            )[:, None, :]
         cond_latents = _build_conditioning(
             latents_scaled / scaling_factor, init_latent, predict_bbox, num_cond_bbox_frames
         )

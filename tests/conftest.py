@@ -1,18 +1,20 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding
-tests run without TPU hardware (SURVEY.md §4 'Implication for the rebuild')."""
+tests run without TPU hardware (SURVEY.md §4 'Implication for the rebuild').
+
+Note: the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel) and the
+plugin wins over os.environ mutation, so the override must go through
+jax.config before any backend is initialized.
+"""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
 
-import jax  # noqa: E402  (import after env setup)
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: tiny-model compiles dominate test wall-clock.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

