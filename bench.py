@@ -17,6 +17,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 A100_EST_SEC_PER_CLIP = 18.0
 STEPS = 25
 H, W = 320, 512
@@ -53,11 +57,20 @@ def main():
     t = jnp.asarray(1.0, jnp.float32)
 
     t0 = time.time()
-    unet_params = jax.jit(lambda k: unet.init(k, sample, t, enc, tids))(rng)
-    ctrl_params = jax.jit(lambda k: ctrl.init(k, sample, t, enc, tids, cond))(rng)
-    vae_params = jax.jit(lambda k: vae.init(k, jnp.zeros((1, H, W, 3), dtype)))(rng)
+    def cast_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+        )
+
+    # init in bf16 storage: fp32 params for these four models are ~11.3 GB
+    # and blow the 16 GB HBM together with the program workspace.
+    unet_params = jax.jit(lambda k: cast_bf16(unet.init(k, sample, t, enc, tids)))(rng)
+    ctrl_params = jax.jit(lambda k: cast_bf16(ctrl.init(k, sample, t, enc, tids, cond)))(rng)
+    vae_params = jax.jit(
+        lambda k: cast_bf16(vae.init(k, jnp.zeros((1, H, W, 3), dtype)))
+    )(rng)
     clip_params = jax.jit(
-        lambda k: clip.init(k, jnp.zeros((1, 224, 224, 3), dtype))
+        lambda k: cast_bf16(clip.init(k, jnp.zeros((1, 224, 224, 3), dtype)))
     )(rng)
     jax.block_until_ready((unet_params, ctrl_params, vae_params, clip_params))
     init_s = time.time() - t0

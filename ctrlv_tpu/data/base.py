@@ -101,38 +101,57 @@ class VideoDataset:
     def render_bbox_frame(
         self, labels: Optional[List[FrameLabel]], calib: Optional[np.ndarray]
     ) -> np.ndarray:
-        """Rasterize one conditioning frame on device -> [-1,1] numpy."""
+        """Rasterize one conditioning frame -> [-1,1] numpy.
+
+        Host path prefers the native C++ rasterizer (no device round-trip
+        per frame in __getitem__); falls back to the XLA kernel. Both are
+        bit-matched (tests/test_native.py).
+        """
         from ..data.collate import objects_to_arrays
-        from ..ops.rasterize import rasterize_clip
+        from ..ops.rasterize import TYPE_COLORS, project_boxes_3d_np, track_color
 
         arrays = objects_to_arrays([labels])
         sx = self.train_W / self.orig_W
         sy = self.train_H / self.orig_H
-        bbox = arrays["bbox"] * np.asarray([sx, sy, sx, sy], np.float32)
+        bbox = (arrays["bbox"][0] * np.asarray([sx, sy, sx, sy], np.float32))
         if calib is None:
-            # no 3D path: scale an identity-free projection out of range
-            calib_used = np.zeros((3, 4), np.float32)
-            calib_used[2, 2] = 1.0
+            corners = np.full((bbox.shape[0], 8, 2), -1e4, np.float32)
         else:
             calib_used = np.asarray(calib, np.float32)
-            scale = np.diag([sx, sy, 1.0]).astype(np.float32)
-            calib_used = scale @ (
-                calib_used if calib_used.shape == (3, 4) else np.pad(calib_used, ((0, 0), (0, 1)))
+            if calib_used.shape != (3, 4):
+                calib_used = np.pad(calib_used, ((0, 0), (0, 1)))
+            calib_used = np.diag([sx, sy, 1.0]).astype(np.float32) @ calib_used
+            corners = project_boxes_3d_np(
+                arrays["locations"][0], arrays["dimensions"][0],
+                arrays["rotation_y"][0], calib_used,
             )
-        frame = rasterize_clip(
-            arrays["locations"],
-            arrays["dimensions"],
-            arrays["rotation_y"],
-            bbox,
-            arrays["id_type"],
-            arrays["track_id"],
-            arrays["num_objects"],
-            calib_used,
-            height=self.train_H,
-            width=self.train_W,
-            plot_2d_bbox=True,
-        )[0]
-        return self.to_tensor(np.asarray(frame))
+        n = bbox.shape[0]
+        valid = np.arange(n) < arrays["num_objects"][0]
+        tcol = np.asarray(TYPE_COLORS)[
+            np.clip(arrays["id_type"][0], 0, len(TYPE_COLORS) - 1)
+        ].astype(np.float32)
+        kcol = np.asarray(track_color(np.asarray(arrays["track_id"][0])), np.float32)
+
+        from .native import load_native, rasterize_frame_native
+
+        if load_native() is not None:
+            frame = rasterize_frame_native(
+                corners, bbox, valid, tcol, kcol,
+                height=self.train_H, width=self.train_W,
+            )
+        else:
+            import jax.numpy as jnp
+
+            from ..ops.rasterize import rasterize_frame
+
+            frame = np.asarray(
+                rasterize_frame(
+                    jnp.asarray(corners), jnp.asarray(bbox), jnp.asarray(valid),
+                    jnp.asarray(tcol), jnp.asarray(kcol),
+                    height=self.train_H, width=self.train_W,
+                )
+            )
+        return self.to_tensor(frame)
 
     def load_bbox_frame(
         self, index: int, offset: int, labels, calib

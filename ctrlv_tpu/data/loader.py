@@ -176,6 +176,12 @@ def get_dataloader(
         non_overlapping_clips=non_overlapping_clips,
         **kwargs,
     )
+    if len(dset) == 0:
+        raise FileNotFoundError(
+            f"dataset '{dset_name}' at '{dset_root}' produced 0 "
+            f"{data_type}s — check --data_root (expected layout documented "
+            f"in ctrlv_tpu/data/{dset_name.lower()}.py)"
+        )
     loader = DataLoader(
         dset, batch_size=batch_size, shuffle=shuffle, drop_last=True, seed=seed,
         prefetch=prefetch,

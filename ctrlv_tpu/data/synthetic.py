@@ -94,20 +94,15 @@ class SyntheticDrivingDataset(VideoDataset):
     def get_labels_by_index(self, index: int, offset: int = 0) -> List[dict]:
         start, vel, dims, rot, types = self._trajectories(index)
         pos = start + vel * offset
+        from ..ops.rasterize import project_boxes_3d_np
+
+        all_corners = project_boxes_3d_np(
+            pos.astype(np.float32), dims.astype(np.float32),
+            rot.astype(np.float32), np.asarray(self.calib),
+        )
         labels = []
         for i in range(self.num_objects):
-            # project 3D box center to a 2D bbox via the corner extremes
-            from ..ops.rasterize import project_boxes_3d
-            import jax.numpy as jnp
-
-            corners = np.asarray(
-                project_boxes_3d(
-                    jnp.asarray(pos[i : i + 1], jnp.float32),
-                    jnp.asarray(dims[i : i + 1], jnp.float32),
-                    jnp.asarray(rot[i : i + 1], jnp.float32),
-                    jnp.asarray(self.calib),
-                )
-            )[0]
+            corners = all_corners[i]
             x1, y1 = corners.min(axis=0)
             x2, y2 = corners.max(axis=0)
             if x2 < 0 or x1 > self.train_W or y2 < 0 or y1 > self.train_H:

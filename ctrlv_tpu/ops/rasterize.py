@@ -45,18 +45,51 @@ TYPE_COLORS = np.asarray(
 ) / 255.0
 
 
-def track_color(track_id: jnp.ndarray) -> jnp.ndarray:
-    """Deterministic pseudo-random color in [50,255]/255 per track id."""
-    x = jnp.asarray(track_id, jnp.uint32)
+def track_color(track_id) -> jnp.ndarray:
+    """Deterministic pseudo-random color in [50,255]/255 per track id.
+
+    Works for both jnp (device) and np (host) inputs — same bits.
+    """
+    is_np = isinstance(track_id, np.ndarray)
+    xp = np if is_np else jnp
+    x = xp.asarray(track_id).astype(np.uint32 if is_np else jnp.uint32)
     colors = []
     for salt in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35):
         h = (x + np.uint32(salt)) * np.uint32(0x27D4EB2F)
         h = h ^ (h >> 15)
         h = h * np.uint32(0x165667B1)
         h = h ^ (h >> 13)
-        colors.append(50.0 + (h % 206).astype(jnp.float32))
+        colors.append(50.0 + (h % 206).astype(np.float32 if is_np else jnp.float32))
     # reference flips channel order for track colors (REVERT_CHANNEL_F)
-    return jnp.stack(colors[::-1], axis=-1) / 255.0
+    return xp.stack(colors[::-1], axis=-1) / 255.0
+
+
+def project_boxes_3d_np(
+    location: np.ndarray,
+    dimensions: np.ndarray,
+    rotation_y: np.ndarray,
+    cam_to_img: np.ndarray,
+) -> np.ndarray:
+    """Numpy twin of project_boxes_3d for host-side dataset code —
+    avoids per-object device dispatches in __getitem__."""
+    h, w, l = dimensions[:, 0], dimensions[:, 1], dimensions[:, 2]
+    cx, cy, cz = location[:, 0], location[:, 1], location[:, 2]
+    ry = rotation_y
+    corners = []
+    for i in (1.0, -1.0):
+        for j in (1.0, -1.0):
+            for k in (0.0, 1.0):
+                px = cx + i * w / 2 * np.cos(-ry + np.pi / 2) + (j * i) * l / 2 * np.cos(-ry)
+                pz = cz + i * w / 2 * np.sin(-ry + np.pi / 2) + (j * i) * l / 2 * np.sin(-ry)
+                py = cy - k * h
+                corners.append(np.stack([px, py, pz], axis=-1))
+    pts = np.stack(corners, axis=1)
+    if cam_to_img.shape[-1] == 4:
+        pts = np.concatenate([pts, np.ones(pts.shape[:-1] + (1,), pts.dtype)], -1)
+    proj = np.einsum("rc,nkc->nkr", cam_to_img, pts)
+    z = proj[..., 2]
+    safe_z = np.where(np.abs(z) > 1e-4, z, 1e-4)
+    return np.floor(proj[..., :2] / safe_z[..., None]).astype(np.float32)
 
 
 def project_boxes_3d(

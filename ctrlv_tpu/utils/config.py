@@ -119,8 +119,14 @@ class Config:
             self.fps = 5  # reference per-dataset default (parser.py:434-441)
         if self.eval_H is None:
             self.eval_H = self.train_H
-        assert self.mixed_precision in ("no", "fp16", "bf16")
-        assert self.attention_impl in ("auto", "xla", "pallas")
+        if self.mixed_precision not in ("no", "fp16", "bf16"):
+            raise ValueError(
+                f"--mixed_precision must be no|fp16|bf16, got {self.mixed_precision!r}"
+            )
+        if self.attention_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"--attention_impl must be auto|xla|pallas, got {self.attention_impl!r}"
+            )
 
     @property
     def compute_dtype(self):
@@ -137,10 +143,14 @@ def parse_args(argv=None) -> Config:
     for field in dataclasses.fields(Config):
         name = "--" + field.name
         default = field.default
-        if field.type in ("bool", bool) or isinstance(default, bool):
+        ann = str(field.type)
+        if "bool" in ann or isinstance(default, bool):
             parser.add_argument(name, action="store_true", default=default)
+        elif "int" in ann:
+            parser.add_argument(name, type=int, default=default)
+        elif "float" in ann:
+            parser.add_argument(name, type=float, default=default)
         else:
-            ftype = type(default) if default is not None else str
-            parser.add_argument(name, type=ftype, default=default)
+            parser.add_argument(name, type=str, default=default)
     ns = parser.parse_args(argv)
     return Config(**vars(ns))

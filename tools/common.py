@@ -17,6 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compilation cache: repeat driver invocations skip the
+# multi-minute SVD-size compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from ctrlv_tpu.models import (
     AutoencoderKLTemporalDecoder,
     CLIPVisionConfig,

@@ -109,10 +109,14 @@ def main(cfg=None):
         max_to_keep=cfg.checkpoints_total_limit,
     )
     if cfg.resume_from_checkpoint:
+        # restore onto a host template (single bulk transfer afterwards is
+        # much faster over the device tunnel than per-array device restore)
         restored = ckpt.restore(
             None if cfg.resume_from_checkpoint == "latest" else int(cfg.resume_from_checkpoint),
-            template=state,
+            template=jax.device_get(state),
         )
+        if restored is not None:
+            restored = jax.device_put(restored, repl)
         if restored is not None:
             state = restored
             print(f"resumed from step {int(state.step)}")
