@@ -221,18 +221,26 @@ class BboxPredictorLM(nn.Module):
                 name=f"decoder_{i}",
             )(dec, attn_mask=causal, key_pad=tgt_valid, memory=enc, mem_pad=cond_valid)
 
-        num_outputs = 4 if cfg.pred_coords else 2
-        head = MLPLayer(
-            hidden, cfg.vocabulary_size * num_outputs, name="predict_actions"
-        )(dec)
-        action_preds = head.reshape(b, t, n, num_outputs, cfg.vocabulary_size)
-
         out = dict(
-            action_preds=action_preds,
             actions_tokenized=tokens,
             existence=existence,
             valid_batch=valid_batch,
         )
+        if cfg.pred_coords and cfg.regression:
+            # coords-regression variant (modules/decoder_coords.py):
+            # direct (x1,y1,x2,y2) prediction head instead of token logits.
+            out["coord_preds"] = MLPLayer(hidden, 4, name="predict_coords")(
+                dec
+            ).reshape(b, t, n, 4)
+            out["coords"] = data["coords"][:, :, :n]
+        else:
+            num_outputs = 4 if cfg.pred_coords else 2
+            head = MLPLayer(
+                hidden, cfg.vocabulary_size * num_outputs, name="predict_actions"
+            )(dec)
+            out["action_preds"] = head.reshape(
+                b, t, n, num_outputs, cfg.vocabulary_size
+            )
         if cfg.existence_head:
             out["existence_preds"] = MLPLayer(hidden, 1, name="predict_existence")(
                 dec
@@ -242,7 +250,24 @@ class BboxPredictorLM(nn.Module):
     # ------------------------------------------------------------------
     @staticmethod
     def loss(cfg: BaselineConfig, outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        """Shifted CE over action tokens masked by existence + validity."""
+        """Shifted CE over action tokens (or coord MSE for the regression
+        variant) masked by existence + validity."""
+        exist_all = outputs["existence"][:, 1:, :, 0]
+        valid_all = outputs["valid_batch"].astype(jnp.float32)[:, None, None]
+        if "coord_preds" in outputs:
+            pred = outputs["coord_preds"][:, :-1].astype(jnp.float32)
+            target = outputs["coords"][:, 1:].astype(jnp.float32)
+            mask = (exist_all * valid_all)[..., None]
+            sq = (pred - target) ** 2 * mask
+            loss = jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * 4, 1.0)
+            loss = loss * cfg.coords_loss_weight
+            if cfg.existence_head and "existence_preds" in outputs:
+                ep = outputs["existence_preds"][:, :-1].astype(jnp.float32)
+                bce = jnp.maximum(ep, 0) - ep * exist_all + jnp.log1p(
+                    jnp.exp(-jnp.abs(ep))
+                )
+                loss = loss + cfg.existence_loss_weight * jnp.mean(bce)
+            return loss
         preds = outputs["action_preds"][:, :-1]  # predict t+1 from <=t
         targets = outputs["actions_tokenized"][:, 1:].astype(jnp.int32)
         exist = outputs["existence"][:, 1:, :, 0]

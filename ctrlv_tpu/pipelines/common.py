@@ -134,3 +134,18 @@ def decode_latents(vae, vae_params, latents, scaling_factor, decode_chunk_size=N
 def postprocess_frames(frames):
     """[-1,1] -> [0,1] clamp (tensor2vid 'pt' output parity)."""
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
+
+
+def maybe_shard_frames(x, mesh):
+    """Constrain (B, F, ...) video latents to the frame-sharded layout.
+
+    Under a (data, frame) mesh this keeps the scan carry resident with the
+    frame axis split across chips: spatial convs/attention are frame-local,
+    and XLA inserts the ICI all-gather only inside the 25-token temporal
+    attention (SURVEY.md §5 long-context row).
+    """
+    if mesh is None or mesh.shape.get("frame", 1) == 1:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P(None, "frame"))

@@ -23,6 +23,7 @@ from ..diffusion import EulerDiscreteScheduler, euler_step, scale_model_input
 from .common import (
     SamplingConfig,
     decode_latents,
+    maybe_shard_frames,
     encode_clip_image,
     encode_vae_image,
     encode_vae_video,
@@ -45,6 +46,7 @@ class StableVideoControlPipeline:
         image_encoder,
         clip_params,
         scheduler: Optional[EulerDiscreteScheduler] = None,
+        mesh=None,
     ):
         self.unet = unet
         self.unet_params = unet_params
@@ -55,6 +57,7 @@ class StableVideoControlPipeline:
         self.image_encoder = image_encoder
         self.clip_params = clip_params
         self.scheduler = scheduler or EulerDiscreteScheduler()
+        self.mesh = mesh
         self._jitted = {}
 
     def _sample_fn(self, cfg: SamplingConfig, cond_is_latent: bool):
@@ -100,6 +103,9 @@ class StableVideoControlPipeline:
                 sched_state.init_noise_sigma,
                 jnp.float32,
             )
+            latents = maybe_shard_frames(latents, self.mesh)
+            image_latents = maybe_shard_frames(image_latents, self.mesh)
+            cond_em = maybe_shard_frames(cond_em, self.mesh)
             guidance = guidance_linspace(cfg, batch, cfg.num_frames, guidance_minmax)
 
             def step(latents, i):
@@ -131,7 +137,8 @@ class StableVideoControlPipeline:
                 if do_cfg:
                     uncond, cond = jnp.split(pred, 2, axis=0)
                     pred = uncond + guidance * (cond - uncond)
-                return euler_step(pred, latents, sigma, sigma_next), None
+                nxt = euler_step(pred, latents, sigma, sigma_next)
+                return maybe_shard_frames(nxt, self.mesh), None
 
             latents, _ = jax.lax.scan(step, latents, jnp.arange(cfg.num_inference_steps))
             frames = decode_latents(
@@ -158,7 +165,15 @@ class StableVideoControlPipeline:
         cond_is_latent = cond_images.shape[-1] == 4
         key = (cfg, cond_is_latent, image.shape, cond_images.shape)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._sample_fn(cfg, cond_is_latent))
+            fn = self._sample_fn(cfg, cond_is_latent)
+            if self.mesh is not None:
+                base = jax.jit(fn)
+                def fn_meshed(*args, _base=base):
+                    with jax.set_mesh(self.mesh):
+                        return _base(*args)
+                self._jitted[key] = fn_meshed
+            else:
+                self._jitted[key] = jax.jit(fn)
         if guidance_minmax is None:
             guidance_minmax = jnp.tile(
                 jnp.asarray(

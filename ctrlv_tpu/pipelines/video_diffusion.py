@@ -27,6 +27,7 @@ from ..diffusion import EulerDiscreteScheduler, euler_step, scale_model_input
 from .common import (
     SamplingConfig,
     decode_latents,
+    maybe_shard_frames,
     encode_clip_image,
     encode_vae_image,
     encode_vae_video,
@@ -49,6 +50,7 @@ class VideoDiffusionPipeline:
         image_encoder,
         clip_params,
         scheduler: Optional[EulerDiscreteScheduler] = None,
+        mesh=None,
     ):
         self.unet = unet
         self.unet_params = unet_params
@@ -57,6 +59,7 @@ class VideoDiffusionPipeline:
         self.image_encoder = image_encoder
         self.clip_params = clip_params
         self.scheduler = scheduler or EulerDiscreteScheduler()
+        self.mesh = mesh
         self._jitted = {}
 
     # ------------------------------------------------------------------
@@ -101,6 +104,8 @@ class VideoDiffusionPipeline:
                 sched_state.init_noise_sigma,
                 jnp.float32,
             )
+            latents = maybe_shard_frames(latents, self.mesh)
+            image_latents = maybe_shard_frames(image_latents, self.mesh)
             guidance = guidance_linspace(cfg, batch, cfg.num_frames, guidance_minmax)
 
             def step(latents, i):
@@ -115,7 +120,8 @@ class VideoDiffusionPipeline:
                 if do_cfg:
                     uncond, cond = jnp.split(pred, 2, axis=0)
                     pred = uncond + guidance * (cond - uncond)
-                return euler_step(pred, latents, sigma, sigma_next), None
+                nxt = euler_step(pred, latents, sigma, sigma_next)
+                return maybe_shard_frames(nxt, self.mesh), None
 
             latents, _ = jax.lax.scan(
                 step, latents, jnp.arange(cfg.num_inference_steps)
@@ -147,7 +153,15 @@ class VideoDiffusionPipeline:
         with_bbox = bbox_images is not None
         key = (cfg, with_bbox, image.shape, None if not with_bbox else bbox_images.shape)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._sample_fn(cfg, with_bbox))
+            fn = self._sample_fn(cfg, with_bbox)
+            if self.mesh is not None:
+                base = jax.jit(fn)
+                def fn_meshed(*args, _base=base):
+                    with jax.set_mesh(self.mesh):
+                        return _base(*args)
+                self._jitted[key] = fn_meshed
+            else:
+                self._jitted[key] = jax.jit(fn)
         if bbox_images is None:
             bbox_images = jnp.zeros((image.shape[0], cfg.num_frames) + image.shape[1:])
         if guidance_minmax is None:

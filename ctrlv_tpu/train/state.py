@@ -57,7 +57,16 @@ def make_optimizer(
     lr_warmup_steps: int = 0,
     max_train_steps: Optional[int] = None,
     mask: Optional[Any] = None,
+    nan_guard_steps: int = 100,
 ) -> optax.GradientTransformation:
+    """Build the AdamW chain.
+
+    nan_guard_steps > 0 wraps the whole transform in optax.apply_if_finite:
+    a step with non-finite grads is skipped instead of corrupting the
+    params (the reference had only print-based NaN checks — SURVEY.md §5
+    race/sanitizer row); training errors out after that many consecutive
+    non-finite steps.
+    """
     if lr_scheduler == "constant" and lr_warmup_steps > 0:
         schedule = optax.linear_schedule(0.0, learning_rate, lr_warmup_steps)
     elif lr_scheduler == "constant":
@@ -96,6 +105,8 @@ def make_optimizer(
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, param_labels=labels
         )
+    if nan_guard_steps:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=nan_guard_steps)
     return tx
 
 

@@ -1,0 +1,42 @@
+"""Frame-sharded sampling: pipeline on a (data=4, frame=2) mesh must match
+the unsharded result bit-for-... well, within fp tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctrlv_tpu.parallel import make_mesh
+from ctrlv_tpu.pipelines import VideoDiffusionPipeline
+from helpers import build_tiny_models
+
+F, H, W = 4, 32, 32
+
+
+@pytest.fixture(scope="module")
+def models():
+    return build_tiny_models(num_frames=F, image_hw=(H, W))
+
+
+def test_frame_sharded_sampling_matches_single_device(models):
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3), minval=-1, maxval=1)
+    bbox = jax.random.uniform(jax.random.PRNGKey(2), (1, F, H, W, 3), minval=-1, maxval=1)
+    kwargs = dict(
+        rng=jax.random.PRNGKey(3), num_frames=F, num_inference_steps=2,
+        decode_chunk_size=F,
+    )
+
+    plain = VideoDiffusionPipeline(
+        models["unet"], models["unet_params"], models["vae"], models["vae_params"],
+        models["clip"], models["clip_params"],
+    )
+    ref = np.asarray(plain(image, bbox_images=bbox, **kwargs))
+
+    mesh = make_mesh(n_data=4, n_frame=2)
+    sharded = VideoDiffusionPipeline(
+        models["unet"], models["unet_params"], models["vae"], models["vae_params"],
+        models["clip"], models["clip_params"], mesh=mesh,
+    )
+    out = np.asarray(sharded(image, bbox_images=bbox, **kwargs))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)

@@ -110,6 +110,13 @@ def main(cfg=None):
             if global_step % cfg.checkpointing_steps == 0:
                 ckpt.save(global_step, jax.device_get(state))
     ckpt.save(global_step, jax.device_get(state), wait=True)
+    from ctrlv_tpu.train.hf_export import save_pipeline
+
+    save_pipeline(
+        os.path.join(cfg.output_dir, "pipeline"),
+        controlnet_params=jax.device_get(state.params),
+        controlnet_config=models["unet_cfg"],
+    )
     return state
 
 

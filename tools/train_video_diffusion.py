@@ -150,6 +150,31 @@ def main(cfg=None):
             if global_step % cfg.checkpointing_steps == 0:
                 ckpt.save(global_step, jax.device_get(state))
     ckpt.save(global_step, jax.device_get(state), wait=True)
+    # final HF-layout export (pipeline.save_pretrained parity)
+    from ctrlv_tpu.train.hf_export import save_pipeline
+
+    final_unet = state.params if not cfg.enable_lora else models["unet_params"]
+    if cfg.enable_lora:
+        from ctrlv_tpu.train import merge_lora
+
+        final_unet = {
+            "params": merge_lora(models["unet_params"]["params"], jax.device_get(state.params))
+        }
+    save_pipeline(
+        os.path.join(cfg.output_dir, "pipeline"),
+        unet_params=jax.device_get(final_unet),
+        unet_config=models["unet_cfg"],
+        vae_params=jax.device_get(models["vae_params"]),
+        vae_config=models["vae_cfg"],
+        clip_params=jax.device_get(models["clip_params"]),
+        clip_config=models["clip_cfg"],
+    )
+    if cfg.use_ema:
+        save_pipeline(
+            os.path.join(cfg.output_dir, "pipeline_ema"),
+            unet_params=jax.device_get(ema.params),
+            unet_config=models["unet_cfg"],
+        )
     print(f"done at step {global_step}")
     return state
 
