@@ -16,6 +16,7 @@ from .actions import (
 )
 from .model import BboxPredictorLM
 from .policy import BboxPredictorLMPolicy
+from .image_encoder import ImageEncoder, ImageContextProjector
 
 __all__ = [
     "BaselineConfig",
@@ -34,4 +35,6 @@ __all__ = [
     "process_data",
     "BboxPredictorLM",
     "BboxPredictorLMPolicy",
+    "ImageEncoder",
+    "ImageContextProjector",
 ]

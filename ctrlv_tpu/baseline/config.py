@@ -58,7 +58,7 @@ class BaselineConfig:
 
     @classmethod
     def tiny(cls, **kw) -> "BaselineConfig":
-        return cls(
+        defaults = dict(
             hidden_dim=32,
             dim_feedforward=64,
             num_heads=2,
@@ -68,5 +68,6 @@ class BaselineConfig:
             max_num_agents=4,
             initial_frames_condition_num=2,
             map_embedding=False,
-            **kw,
         )
+        defaults.update(kw)
+        return cls(**defaults)

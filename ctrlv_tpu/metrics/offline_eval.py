@@ -1,0 +1,104 @@
+"""Offline video-metric harness over an export directory.
+
+Parity: /root/reference/src/ctrlv/metrics/fvd.py:187-340 — walk a media
+directory pairing generated_videos_*/gt_videos_* files, resize, optional
+2x temporal downsample, compute FVD plus per-frame SSIM/PSNR (LPIPS when
+the optional `lpips` package is importable). Defaults mirror the
+reference script: SAMPLES=150, NUM_FRAMES=11, DOWNSAMPLE=True, 410x256.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.video_io import load_video
+from .fvd import FVD
+from .image import psnr, ssim
+
+
+def pair_video_files(media_dir: str) -> List[Tuple[str, str]]:
+    """Match generated_videos_<i> with gt_videos_<i> by shared index."""
+    files = os.listdir(media_dir)
+
+    def index_of(name):
+        m = re.search(r"_(\d+)\.\w+$", name)
+        return m.group(1) if m else None
+
+    gen = {index_of(f): f for f in files if f.startswith("generated_video")}
+    gt = {index_of(f): f for f in files if f.startswith("gt_video")}
+    pairs = []
+    for idx in sorted(set(gen) & set(gt), key=lambda s: int(s)):
+        pairs.append((os.path.join(media_dir, gen[idx]), os.path.join(media_dir, gt[idx])))
+    return pairs
+
+
+def _prepare(video: np.ndarray, size: Tuple[int, int], num_frames: int, downsample: bool):
+    import jax
+
+    v = video.astype(np.float32) / 255.0
+    if downsample:
+        v = v[::2]
+    v = v[:num_frames]
+    f, h, w, c = v.shape
+    v = np.asarray(
+        jax.image.resize(jnp.asarray(v), (f, size[1], size[0], c), "bilinear")
+    )
+    return v
+
+
+def evaluate_media_dir(
+    media_dir: str,
+    samples: int = 150,
+    num_frames: int = 11,
+    downsample: bool = True,
+    size: Tuple[int, int] = (410, 256),
+    fvd_params: Optional[dict] = None,
+) -> Dict[str, float]:
+    pairs = pair_video_files(media_dir)[:samples]
+    if not pairs:
+        raise FileNotFoundError(f"no generated/gt video pairs in {media_dir}")
+    fvd = FVD(params=fvd_params)
+    ssims, psnrs, lpips_vals = [], [], []
+
+    lpips_model = None
+    try:  # optional binary dep, like the reference's lpips(alex)
+        import lpips
+        import torch
+
+        lpips_model = lpips.LPIPS(net="alex")
+    except ImportError:
+        pass
+
+    for gen_path, gt_path in pairs:
+        gen = _prepare(load_video(gen_path), size, num_frames, downsample)
+        gt = _prepare(load_video(gt_path), size, num_frames, downsample)
+        n = min(len(gen), len(gt))
+        gen, gt = gen[:n], gt[:n]
+        fvd.update(gt[None], gen[None])
+        ssims.append(
+            float(np.mean([float(ssim(jnp.asarray(gen[i]), jnp.asarray(gt[i])))
+                           for i in range(n)]))
+        )
+        psnrs.append(float(psnr(jnp.asarray(gen), jnp.asarray(gt))))
+        if lpips_model is not None:
+            import torch
+
+            a = torch.from_numpy(gen.transpose(0, 3, 1, 2)) * 2 - 1
+            b = torch.from_numpy(gt.transpose(0, 3, 1, 2)) * 2 - 1
+            with torch.no_grad():
+                lpips_vals.append(float(lpips_model(a, b).mean()))
+
+    out = dict(
+        fvd=fvd.compute(),
+        ssim=float(np.mean(ssims)),
+        psnr=float(np.mean(psnrs)),
+        num_pairs=len(pairs),
+    )
+    if lpips_vals:
+        out["lpips"] = float(np.mean(lpips_vals))
+    return out

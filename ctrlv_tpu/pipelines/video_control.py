@@ -60,7 +60,7 @@ class StableVideoControlPipeline:
         self.mesh = mesh
         self._jitted = {}
 
-    def _sample_fn(self, cfg: SamplingConfig, cond_is_latent: bool):
+    def _sample_fn(self, cfg: SamplingConfig, cond_is_latent: bool, output_latents: bool = False):
         sched_state = self.scheduler.set_timesteps(cfg.num_inference_steps)
 
         def sample(
@@ -141,6 +141,8 @@ class StableVideoControlPipeline:
                 return maybe_shard_frames(nxt, self.mesh), None
 
             latents, _ = jax.lax.scan(step, latents, jnp.arange(cfg.num_inference_steps))
+            if output_latents:
+                return latents
             frames = decode_latents(
                 self.vae,
                 vae_params,
@@ -158,14 +160,16 @@ class StableVideoControlPipeline:
         cond_images: jnp.ndarray,  # (B,F,H,W,3) frames or (B,F,h,w,4) latents
         rng: Optional[jax.Array] = None,
         guidance_minmax: Optional[jnp.ndarray] = None,
+        output_type: str = "np",
         **kwargs,
     ) -> jnp.ndarray:
         cfg = SamplingConfig(**kwargs)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         cond_is_latent = cond_images.shape[-1] == 4
-        key = (cfg, cond_is_latent, image.shape, cond_images.shape)
+        latent_out = output_type == "latent"
+        key = (cfg, cond_is_latent, latent_out, image.shape, cond_images.shape)
         if key not in self._jitted:
-            fn = self._sample_fn(cfg, cond_is_latent)
+            fn = self._sample_fn(cfg, cond_is_latent, output_latents=latent_out)
             if self.mesh is not None:
                 base = jax.jit(fn)
                 def fn_meshed(*args, _base=base):

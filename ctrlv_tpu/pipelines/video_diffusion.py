@@ -63,7 +63,7 @@ class VideoDiffusionPipeline:
         self._jitted = {}
 
     # ------------------------------------------------------------------
-    def _sample_fn(self, cfg: SamplingConfig, with_bbox: bool):
+    def _sample_fn(self, cfg: SamplingConfig, with_bbox: bool, output_latents: bool = False):
         sched_state = self.scheduler.set_timesteps(cfg.num_inference_steps)
 
         def sample(
@@ -87,10 +87,15 @@ class VideoDiffusionPipeline:
                 cond_latents = encode_vae_video(
                     self.vae, vae_params, bbox_images, do_cfg
                 )
-                # latent substitution: first K frames + last frame
+                # latent substitution: first K frames + last frame. Expressed
+                # as an elementwise select instead of .at[].set — the XLA CPU
+                # SPMD partitioner miscompiles sliced scatters on a sharded
+                # frame axis (verified: values change under a pure layout
+                # constraint), and where() partitions trivially.
                 k = cfg.num_cond_bbox_frames
-                image_latents = image_latents.at[:, 0:k].set(cond_latents[:, 0:k])
-                image_latents = image_latents.at[:, -1].set(cond_latents[:, -1])
+                fidx = jnp.arange(cfg.num_frames)[None, :, None, None, None]
+                use_cond = (fidx < k) | (fidx == cfg.num_frames - 1)
+                image_latents = jnp.where(use_cond, cond_latents, image_latents)
 
             add_time_ids = get_add_time_ids(cfg, batch, do_cfg)
             h, w = image_latents.shape[2], image_latents.shape[3]
@@ -126,6 +131,8 @@ class VideoDiffusionPipeline:
             latents, _ = jax.lax.scan(
                 step, latents, jnp.arange(cfg.num_inference_steps)
             )
+            if output_latents:
+                return latents
             frames = decode_latents(
                 self.vae,
                 vae_params,
@@ -145,15 +152,19 @@ class VideoDiffusionPipeline:
         bbox_images: Optional[jnp.ndarray] = None,  # (B,F,H,W,3) in [-1,1]
         rng: Optional[jax.Array] = None,
         guidance_minmax: Optional[jnp.ndarray] = None,  # (B,2) per-sample ramp
+        output_type: str = "np",  # "np" frames in [0,1] | "latent"
         **kwargs,
     ) -> jnp.ndarray:
-        """Generate a video; returns (B, F, H, W, 3) frames in [0,1]."""
+        """Generate a video; returns (B, F, H, W, 3) frames in [0,1]
+        (or raw final latents with output_type="latent")."""
         cfg = SamplingConfig(**kwargs)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         with_bbox = bbox_images is not None
-        key = (cfg, with_bbox, image.shape, None if not with_bbox else bbox_images.shape)
+        latent_out = output_type == "latent"
+        key = (cfg, with_bbox, latent_out, image.shape,
+               None if not with_bbox else bbox_images.shape)
         if key not in self._jitted:
-            fn = self._sample_fn(cfg, with_bbox)
+            fn = self._sample_fn(cfg, with_bbox, output_latents=latent_out)
             if self.mesh is not None:
                 base = jax.jit(fn)
                 def fn_meshed(*args, _base=base):

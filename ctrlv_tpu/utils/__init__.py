@@ -5,6 +5,13 @@ from .fourier import (
     to_binary,
 )
 from .config import Config, parse_args
+from .samples import (
+    get_first_training_sample,
+    get_n_training_samples,
+    eval_samples_generator,
+    eval_demo_samples_generator,
+)
+from .misc import rand_log_normal, tokenize_captions
 
 __all__ = [
     "FourierEmbedder",
@@ -13,4 +20,10 @@ __all__ = [
     "to_binary",
     "Config",
     "parse_args",
+    "get_first_training_sample",
+    "get_n_training_samples",
+    "eval_samples_generator",
+    "eval_demo_samples_generator",
+    "rand_log_normal",
+    "tokenize_captions",
 ]

@@ -43,13 +43,19 @@ def main(cfg=None, max_samples=None):
         if_last_frame_traj=cfg.if_last_frame_trajectory,
     )
 
+    mesh = None
+    if cfg.mesh_frame > 1 or (cfg.mesh_data or 1) > 1:
+        from ctrlv_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
     bbox_pipe = VideoDiffusionPipeline(
         models["unet"], models["unet_params"], models["vae"], models["vae_params"],
-        models["clip"], models["clip_params"],
+        models["clip"], models["clip_params"], mesh=mesh,
     )
     ctrl_pipe = StableVideoControlPipeline(
         models["unet"], models["unet_params"], models["ctrl"], models["ctrl_params"],
         models["vae"], models["vae_params"], models["clip"], models["clip_params"],
+        mesh=mesh,
     )
     overall = OverallPipeline(bbox_pipe, ctrl_pipe)
 
