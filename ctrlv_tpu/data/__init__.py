@@ -13,7 +13,7 @@ from .bdd100k import BDD100KDataset
 from .davis import DAVISDataset
 from .nuscenes import NuScenesDataset
 from .synthetic import SyntheticDrivingDataset
-from .loader import get_dataloader
+from .loader import get_dataloader, build_dataset, DataLoader
 
 __all__ = [
     "MAX_BOXES_PER_DATA",
@@ -31,4 +31,6 @@ __all__ = [
     "NuScenesDataset",
     "SyntheticDrivingDataset",
     "get_dataloader",
+    "build_dataset",
+    "DataLoader",
 ]
