@@ -279,11 +279,6 @@ class TemporalBasicTransformerBlock(nn.Module):
         return hidden_states
 
 
-def group_norm(x: jnp.ndarray, num_groups: int, eps: float, dtype, name: str):
-    """fp32 GroupNorm followed by a cast back to compute dtype."""
-    return nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=jnp.float32, name=name)
-
-
 class Downsample2D(nn.Module):
     """3x3 stride-2 conv downsampler (padding=1, diffusers UNet flavor)."""
 

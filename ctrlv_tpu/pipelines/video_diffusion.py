@@ -17,7 +17,7 @@ resident on device. CFG runs as a doubled batch through the same UNet call.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -17,7 +17,7 @@ mesh the batch is sharded and XLA inserts the gradient psum.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable, Optional
 
 import jax
