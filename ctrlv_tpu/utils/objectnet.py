@@ -14,12 +14,12 @@ import jax
 import jax.numpy as jnp
 
 # per-object scalar layout: truncated, occluded, alpha, bbox4, dims3, loc3,
-# rot_y, id_type, track_id  ->  15 numbers per object slot
-OBJECT_DIM = 15
+# rot_y, id_type, track_id  ->  16 numbers per object slot
+OBJECT_DIM = 16
 
 
 def convert_objects(objects: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """Padded object dict (B, F, N, ...) -> flat layouts (B, F, N*15)."""
+    """Padded object dict (B, F, N, ...) -> flat layouts (B, F, N*OBJECT_DIM)."""
     parts = [
         objects["truncated"][..., None],
         objects["occluded"].astype(jnp.float32)[..., None],
@@ -31,13 +31,13 @@ def convert_objects(objects: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         objects["id_type"].astype(jnp.float32)[..., None],
         objects["track_id"].astype(jnp.float32)[..., None],
     ]
-    flat = jnp.concatenate(parts, axis=-1)  # (B, F, N, 15)
+    flat = jnp.concatenate(parts, axis=-1)  # (B, F, N, 16)
     b, f, n, d = flat.shape
     return flat.reshape(b, f, n * d)
 
 
 def revert_embed(layout: jnp.ndarray, num_objects: int) -> Dict[str, jnp.ndarray]:
-    """Flat layouts (B, F, N*15) -> object dict (inverse of convert_objects)."""
+    """Flat layouts (B, F, N*OBJECT_DIM) -> object dict (inverse of convert_objects)."""
     b, f, _ = layout.shape
     x = layout.reshape(b, f, num_objects, OBJECT_DIM)
     return dict(
@@ -49,7 +49,7 @@ def revert_embed(layout: jnp.ndarray, num_objects: int) -> Dict[str, jnp.ndarray
         locations=x[..., 10:13],
         rotation_y=x[..., 13],
         id_type=x[..., 14].astype(jnp.int32),
-        track_id=jnp.zeros_like(x[..., 14], jnp.int32),
+        track_id=x[..., 15].astype(jnp.int32),
     )
 
 
