@@ -40,7 +40,9 @@ def save_component(
     comp_dir = os.path.join(out_dir, name)
     os.makedirs(comp_dir, exist_ok=True)
     tree = params["params"] if isinstance(params, dict) and "params" in params else params
-    sd = flax_params_to_torch_state_dict(tree)
+    sd = flax_params_to_torch_state_dict(
+        tree, component="image_encoder" if name == "image_encoder" else None
+    )
     sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
     save_file(sd, os.path.join(comp_dir, _WEIGHT_NAMES.get(name, "model.safetensors")))
     if config is not None:

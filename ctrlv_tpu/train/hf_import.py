@@ -28,6 +28,12 @@ import numpy as np
 # torch names copied verbatim (no transpose) into same-shaped flax params
 _VERBATIM = ("class_embedding", "position_embedding")
 
+# Literal diffusers submodule names containing _<digit> — these are NOT
+# merged ModuleList indices and must NOT be split on export
+# (TimestepEmbedding.linear_1/linear_2 in time_embedding, add_embedding,
+# and every transformer time_pos_embed).
+_LITERAL_UNDERSCORE_NAMES = frozenset({"linear_1", "linear_2"})
+
 
 def torch_name_to_flax_path(name: str) -> Tuple[str, ...]:
     """Merge numeric components: a.b.0.c -> (a, b_0, c); rename leaves."""
@@ -38,11 +44,13 @@ def torch_name_to_flax_path(name: str) -> Tuple[str, ...]:
             merged[-1] = merged[-1] + "_" + p
         else:
             merged.append(p)
-    # transformers CLIP: drop the wrapper prefixes, fuse mlp.fcN
+    # transformers CLIP: drop the wrapper prefixes, fuse mlp.fcN.
+    # Only strip `embeddings`/`encoder` inside a CLIP vision tower — the
+    # VAE has its own top-level `encoder.` that must survive.
     if merged and merged[0] == "vision_model":
         merged = merged[1:]
-    if merged and merged[0] in ("embeddings", "encoder"):
-        merged = merged[1:]
+        if merged and merged[0] in ("embeddings", "encoder"):
+            merged = merged[1:]
     out = []
     for p in merged:
         if p == "mlp":
@@ -125,8 +133,31 @@ def torch_state_dict_to_flax(
     return flax.traverse_util.unflatten_dict(flat)
 
 
-def flax_params_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
-    """Inverse conversion for checkpoint export (HF-compatible names)."""
+def _restore_clip_prefixes(name: str) -> str:
+    """Re-add the transformers CLIPVisionModelWithProjection wrapper
+    prefixes that torch_name_to_flax_path strips, so exported
+    image_encoder safetensors load back into transformers."""
+    head = name.split(".", 1)[0]
+    if head == "visual_projection":
+        return name
+    if head in ("class_embedding", "patch_embedding", "position_embedding"):
+        name = "embeddings." + name
+        # nn.Embedding's weight suffix (stripped on import for verbatim keys)
+        if name.endswith("position_embedding"):
+            name += ".weight"
+    elif head == "layers":
+        name = "encoder." + name
+    return "vision_model." + name
+
+
+def flax_params_to_torch_state_dict(
+    params: Any, component: Optional[str] = None
+) -> Dict[str, np.ndarray]:
+    """Inverse conversion for checkpoint export (HF-compatible names).
+
+    component="image_encoder" restores the transformers CLIP
+    `vision_model.{embeddings,encoder}.` wrapper prefixes.
+    """
     flat = flax.traverse_util.flatten_dict(params)
     out: Dict[str, np.ndarray] = {}
     for path, arr in flat.items():
@@ -135,7 +166,13 @@ def flax_params_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
         name_parts = []
         for p in prefix:
             m = re.fullmatch(r"(.+?)_(\d+)", p)
-            if m and not m.group(1).startswith("mlp_fc"):
+            if p in ("mlp_fc1", "mlp_fc2"):
+                name_parts.extend(["mlp", p[4:]])
+            elif (
+                m
+                and p not in _LITERAL_UNDERSCORE_NAMES
+                and not m.group(1).startswith("mlp_fc")
+            ):
                 name_parts.extend([m.group(1), m.group(2)])
             else:
                 name_parts.append(p)
@@ -151,10 +188,16 @@ def flax_params_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
             leaf = "weight"
         elif leaf in _VERBATIM:
             name_parts.append(leaf)
-            out[".".join(name_parts)] = arr
+            name = ".".join(name_parts)
+            if component == "image_encoder":
+                name = _restore_clip_prefixes(name)
+            out[name] = arr
             continue
         name_parts.append(leaf)
-        out[".".join(name_parts)] = arr
+        name = ".".join(name_parts)
+        if component == "image_encoder":
+            name = _restore_clip_prefixes(name)
+        out[name] = arr
     return out
 
 
