@@ -98,18 +98,23 @@ class OverallPipeline:
         gt_u8 = jnp.floor(gt01 * 255.0)
         cand_u8 = jnp.floor(cleaned * 255.0)
         scores = binary_mask_iou_batch(gt_u8, cand_u8)  # (5, 3): iou, p, r
-        best = int(jnp.argmax(scores[:, 0]))
+        # reference tie-break: a later candidate with an equal score wins
+        # (eval_overall.py:107-108 `max` + `==` update)
+        best = n - 1 - int(jnp.argmax(scores[::-1, 0]))
 
-        best_clip = cleaned[best]  # (F,H,W,3) [0,1]
+        best_clip = cleaned[best]  # (F,H,W,3) [0,1] — cleaned, for IoU/export
         fl = [0, num_frames - 1]
         miou_fl = binary_mask_iou(
             np.asarray(gt_u8)[fl], np.asarray(cand_u8)[best][fl]
         )
 
-        # Stage 2: Box2Video on the winner.
+        # Stage 2: Box2Video on the winner — conditioned on the RAW pipeline
+        # output, not the cleaned frames (the reference keeps
+        # best_generation_bbox from before cleanup, eval_overall.py:110;
+        # cleanup only feeds the IoU selection and the exported bbox video).
         frames = self.ctrl_pipeline(
             image[None],
-            cond_images=(2.0 * (best_clip - 0.5))[None],
+            cond_images=(2.0 * (candidates[best] - 0.5))[None],
             rng=rng2,
             num_frames=num_frames,
             num_inference_steps=stage2_steps,

@@ -46,6 +46,53 @@ def vae_decoder_predicate(path: tuple) -> bool:
     return len(path) > 0 and path[0] == "decoder"
 
 
+def scheduled_freeze(
+    inner: optax.GradientTransformation, mask: Any, start_iter: int
+) -> optax.GradientTransformation:
+    """Full-param updates before `start_iter`, mask-only after.
+
+    Parity: the reference switches from full finetune to temporal-only
+    *mid-training* when global_step >= backprop_temporal_blocks_start_iter,
+    clearing the optimizer state at the switch
+    (/root/reference/tools/train_video_diffusion.py:375-387). TPU-native:
+    the schedule lives inside the jitted transformation (a step counter +
+    jnp.where), so there is no recompilation or pytree surgery at the
+    switch.
+
+    Frozen leaves receive *exactly zero* updates after the switch (their
+    grads are zeroed before `inner`, so global-norm clipping sees only the
+    live set, and the final output mask kills inner's weight-decay term).
+    At the switch step inner's state is reset to freshly-initialized values
+    (the reference's optimizer.state.clear()).
+    """
+    def _live(count):
+        switched = count >= start_iter
+        return jax.tree.map(lambda m: jnp.logical_or(~switched, m), mask)
+
+    def init(params):
+        return {"inner": inner.init(params), "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        count = state["count"]
+        live = _live(count)
+        grads = jax.tree.map(
+            lambda g, l: jnp.where(l, g, jnp.zeros_like(g)), updates, live
+        )
+        fresh = inner.init(params)
+        inner_state = jax.tree.map(
+            lambda f, c: jnp.where(count == start_iter, f, c),
+            fresh,
+            state["inner"],
+        )
+        out, new_inner = inner.update(grads, inner_state, params)
+        out = jax.tree.map(
+            lambda u, l: jnp.where(l, u, jnp.zeros_like(u)), out, live
+        )
+        return out, {"inner": new_inner, "count": count + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     learning_rate: float = 1e-5,
     adam_beta1: float = 0.9,
@@ -57,15 +104,25 @@ def make_optimizer(
     lr_warmup_steps: int = 0,
     max_train_steps: Optional[int] = None,
     mask: Optional[Any] = None,
+    scheduled_mask: Optional[Any] = None,
+    freeze_start_iter: int = -1,
     nan_guard_steps: int = 100,
+    optimizer: str = "adamw",
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
-    """Build the AdamW chain.
+    """Build the AdamW (or memory-lean adafactor) chain.
 
     nan_guard_steps > 0 wraps the whole transform in optax.apply_if_finite:
     a step with non-finite grads is skipped instead of corrupting the
     params (the reference had only print-based NaN checks — SURVEY.md §5
     race/sanitizer row); training errors out after that many consecutive
     non-finite steps.
+
+    optimizer="adafactor" replaces AdamW's full second moment with a
+    factored one (row/col stats), cutting optimizer memory from 2x to
+    ~1x params — the single-v5e path for FULL-size full finetuning (fp32
+    AdamW moments alone are ~12 GB for the 1.5B UNet). mu_dtype (e.g.
+    "bfloat16") halves AdamW's first-moment storage.
     """
     if lr_scheduler == "constant" and lr_warmup_steps > 0:
         schedule = optax.linear_schedule(0.0, learning_rate, lr_warmup_steps)
@@ -88,16 +145,26 @@ def make_optimizer(
     else:
         raise ValueError(lr_scheduler)
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(
+    if optimizer == "adafactor":
+        inner = optax.adafactor(
+            learning_rate=schedule,
+            multiply_by_parameter_scale=False,
+            momentum=None,
+            weight_decay_rate=adam_weight_decay,
+            eps=adam_epsilon,
+        )
+    elif optimizer == "adamw":
+        inner = optax.adamw(
             schedule,
             b1=adam_beta1,
             b2=adam_beta2,
             eps=adam_epsilon,
             weight_decay=adam_weight_decay,
-        ),
-    )
+            mu_dtype=mu_dtype,
+        )
+    else:
+        raise ValueError(optimizer)
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
     if mask is not None:
         # optax.masked would pass raw grads through for frozen leaves;
         # multi_transform + set_to_zero actually freezes them.
@@ -105,6 +172,9 @@ def make_optimizer(
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, param_labels=labels
         )
+    elif scheduled_mask is not None:
+        # full finetune until freeze_start_iter, mask-only after
+        tx = scheduled_freeze(tx, scheduled_mask, freeze_start_iter)
     if nan_guard_steps:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=nan_guard_steps)
     return tx

@@ -83,7 +83,7 @@ def make_svd_train_step(
     sigma_table = jnp.asarray(training_sigma_table())
 
     def step(state: TrainState, vae_params, clip_params, clips, bbox_clips, rng, base_params=None):
-        rng_enc, rng_sigma, rng_noise, rng_drop = jax.random.split(rng, 4)
+        rng_enc, rng_enc_rgb, rng_sigma, rng_noise, rng_drop = jax.random.split(rng, 5)
         frames = bbox_clips if predict_bbox else clips
         b, f = frames.shape[:2]
 
@@ -94,9 +94,10 @@ def make_svd_train_step(
             # conditioning comes from bbox latents, but the *initial RGB frame*
             # fills the middle frames; CLIP embedding from the RGB first frame.
             rgb_init = clips[:, 0]
-            rng_enc2, rng_enc3 = jax.random.split(rng_enc)
+            # fresh key: rng_enc was consumed inside _encode_batch, and
+            # re-splitting it would duplicate the bbox-latent sampling key
             init_latent = vae.apply(
-                vae_params, rgb_init, rng_enc2, True, method=vae.encode
+                vae_params, rgb_init, rng_enc_rgb, True, method=vae.encode
             )
             clip_emb = clip_model.apply(
                 clip_params,
@@ -179,9 +180,11 @@ def make_controlnet_train_step(
             vae, vae_params, clip_model, clip_params, target_frames, rng_enc,
             scaling_factor,
         )
-        # control conditioning: VAE-encode the conditioning clip (mode)
+        # control conditioning: VAE-encode the conditioning clip, sampling
+        # the latent distribution like the reference's training path
+        # (train_video_controlnet.py:387 latent_dist.sample())
         flat_cond = cond_frames.reshape((b * f,) + cond_frames.shape[2:])
-        control_cond = vae.apply(vae_params, flat_cond, method=vae.encode)
+        control_cond = vae.apply(vae_params, flat_cond, rng_cond, True, method=vae.encode)
         control_cond = control_cond.reshape((b, f) + control_cond.shape[1:])
         image_latents = jnp.repeat(init_latent[:, None], f, axis=1)
         target_latents = latents_scaled

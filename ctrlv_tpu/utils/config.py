@@ -71,6 +71,9 @@ class Config:
     enable_gradient_checkpointing: bool = False
     backprop_temporal_blocks_start_iter: int = -1
     object_net_lr_factor: float = 1.0
+    # Accepted for reference-CLI compatibility but intentionally no-ops:
+    # the reference parses these too and never reads them anywhere outside
+    # utils/parser.py (verified: parser.py:99,213,236 — zero other usages).
     snr_gamma: Optional[float] = None
     noise_offset: float = 0.0
     prediction_type: Optional[str] = None
@@ -91,7 +94,7 @@ class Config:
     min_guidance_scale: float = 1.0
     max_guidance_scale: float = 3.0
     guidance_scale: float = 7.5  # legacy image pipeline
-    guidance_rescale: float = 0.0
+    guidance_rescale: float = 0.0  # reference-compat no-op (parser.py:248, unused there)
     conditioning_scale: float = 1.0
     motion_bucket_id: int = 127
     decode_chunk_size: int = 8
@@ -101,9 +104,7 @@ class Config:
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None
     validation_steps: int = 500
-    num_validation_images: int = 4
     num_demo_samples: int = 4
-    validation_prompt: Optional[str] = None
     evaluate_only: bool = False
     eval_dir: Optional[str] = None
     demo_path: Optional[str] = None
@@ -113,6 +114,13 @@ class Config:
     mesh_frame: int = 1
     attention_impl: str = "auto"  # auto|xla|pallas
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # optimizer memory: ZeRO-1 moment sharding over the data axis
+    # (multi-chip), adafactor / low-precision first moment (single-chip
+    # full-size full finetune — fp32 AdamW moments alone are ~12 GB for the
+    # 1.5B UNet and OOM a 16 GB v5e)
+    optimizer_sharding: str = "auto"  # auto|none|zero1 (auto: zero1 when mesh>1)
+    optimizer: str = "adamw"  # adamw|adafactor
+    adam_mu_dtype: Optional[str] = None  # e.g. bfloat16
 
     def __post_init__(self):
         if self.dataset_name.lower() == "bdd100k" and self.fps == 7:
@@ -126,6 +134,15 @@ class Config:
         if self.attention_impl not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"--attention_impl must be auto|xla|pallas, got {self.attention_impl!r}"
+            )
+        if self.optimizer_sharding not in ("auto", "none", "zero1"):
+            raise ValueError(
+                f"--optimizer_sharding must be auto|none|zero1, got "
+                f"{self.optimizer_sharding!r}"
+            )
+        if self.optimizer not in ("adamw", "adafactor"):
+            raise ValueError(
+                f"--optimizer must be adamw|adafactor, got {self.optimizer!r}"
             )
 
     @property
@@ -145,7 +162,11 @@ def parse_args(argv=None) -> Config:
         default = field.default
         ann = str(field.type)
         if "bool" in ann or isinstance(default, bool):
-            parser.add_argument(name, action="store_true", default=default)
+            # --flag / --no-flag so True-default bools are disable-able from
+            # the CLI (reference scripts need e.g. use_preplotted_bbox=False)
+            parser.add_argument(
+                name, action=argparse.BooleanOptionalAction, default=default
+            )
         elif "int" in ann:
             parser.add_argument(name, type=int, default=default)
         elif "float" in ann:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctrlv_tpu.data import get_dataloader
-from ctrlv_tpu.parallel import make_mesh
+from ctrlv_tpu.parallel import make_mesh, shard_train_state
 from ctrlv_tpu.train import (
     CheckpointManager,
     ema_init,
@@ -34,6 +34,7 @@ from ctrlv_tpu.train import (
     make_svd_train_step,
     trainable_mask,
 )
+from ctrlv_tpu.train.observability import Tracker, collect_demo_samples, run_validation
 from ctrlv_tpu.train.state import init_train_state, temporal_blocks_predicate
 from ctrlv_tpu.utils.config import parse_args
 
@@ -53,10 +54,17 @@ def main(cfg=None):
         seed=cfg.seed,
     )
 
-    # optimizer (+ optional temporal-only mask / LoRA)
-    mask = None
-    if cfg.backprop_temporal_blocks_start_iter >= 0:
+    # optimizer (+ optional temporal-only regime / LoRA). Reference
+    # semantics (train_video_diffusion.py:202-212,375-387): start_iter==0
+    # => temporal-only from step 0; start_iter>0 => full finetune until
+    # global_step reaches it, then temporal-only; <0 => full finetune.
+    # LoRA runs skip the regime entirely (reference :204-205).
+    mask = sched_mask = None
+    start_iter = cfg.backprop_temporal_blocks_start_iter
+    if not cfg.enable_lora and start_iter == 0:
         mask = trainable_mask(models["unet_params"], temporal_blocks_predicate)
+    elif not cfg.enable_lora and start_iter > 0:
+        sched_mask = trainable_mask(models["unet_params"], temporal_blocks_predicate)
     tx = make_optimizer(
         learning_rate=cfg.learning_rate * (
             cfg.train_batch_size * cfg.gradient_accumulation_steps
@@ -71,6 +79,10 @@ def main(cfg=None):
         lr_warmup_steps=cfg.lr_warmup_steps,
         max_train_steps=cfg.max_train_steps,
         mask=mask,
+        scheduled_mask=sched_mask,
+        freeze_start_iter=start_iter,
+        optimizer=cfg.optimizer,
+        mu_dtype=cfg.adam_mu_dtype,
     )
     if cfg.gradient_accumulation_steps > 1:
         import optax
@@ -100,9 +112,11 @@ def main(cfg=None):
     )
 
     mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
-    repl = NamedSharding(mesh, P())
     batch_sharding = NamedSharding(mesh, P("data"))
-    state = jax.device_put(state, repl)
+    zero1 = cfg.optimizer_sharding == "zero1" or (
+        cfg.optimizer_sharding == "auto" and mesh.shape["data"] > 1
+    )
+    state = shard_train_state(state, mesh, zero1=zero1)
 
     ckpt = CheckpointManager(
         os.path.join(cfg.output_dir, "checkpoints"),
@@ -116,10 +130,35 @@ def main(cfg=None):
             template=jax.device_get(state),
         )
         if restored is not None:
-            restored = jax.device_put(restored, repl)
-        if restored is not None:
-            state = restored
+            state = shard_train_state(restored, mesh, zero1=zero1)
             print(f"resumed from step {int(state.step)}")
+
+    # observability: tracker + cached demo samples + validation pipeline
+    # (reference train_video_diffusion.py:271-272,334-340,389-425)
+    tracker = Tracker(cfg)
+    demo_samples = collect_demo_samples(loader, cfg.num_demo_samples)
+    from ctrlv_tpu.pipelines import VideoDiffusionPipeline
+
+    val_pipeline = VideoDiffusionPipeline(
+        models["unet"], models["unet_params"], models["vae"],
+        models["vae_params"], models["clip"], models["clip_params"],
+    )
+
+    def validation_params():
+        """EMA weights when enabled (the reference's store/copy/restore
+        dance, :400-422 — here just a different param tree); merged LoRA
+        weights for LoRA runs."""
+        if cfg.use_ema and ema is not None:
+            return ema.params
+        if cfg.enable_lora:
+            from ctrlv_tpu.train import merge_lora
+
+            return {
+                "params": merge_lora(
+                    models["unet_params"]["params"], jax.device_get(state.params)
+                )
+            }
+        return state.params
 
     rng = jax.random.PRNGKey(cfg.seed)
     global_step = int(state.step)
@@ -129,6 +168,15 @@ def main(cfg=None):
         for batch in loader:
             if global_step >= max_steps:
                 break
+            if (cfg.validation_steps and global_step > 0
+                    and global_step % cfg.validation_steps == 0):
+                val_pipeline.unet_params = validation_params()
+                rng, vkey = jax.random.split(rng)
+                vm = run_validation(
+                    tracker, global_step, val_pipeline, demo_samples, cfg,
+                    vkey, predict_bbox=cfg.predict_bbox,
+                )
+                print(f"validation @ step {global_step}: {vm or 'media logged'}")
             clips, bbox = batch_to_device(batch)
             clips = jax.device_put(clips, batch_sharding)
             bbox = jax.device_put(bbox, batch_sharding)
@@ -143,6 +191,10 @@ def main(cfg=None):
             global_step += 1
             if cfg.use_ema:
                 ema = ema_update(ema, state.params)
+            tracker.log_scalars(
+                global_step,
+                {"train_loss": metrics["loss"], "grad_norm": metrics["grad_norm"]},
+            )
             if global_step % 10 == 0 or global_step == 1:
                 loss = float(metrics["loss"])
                 dt = (time.time() - t0) / max(global_step - int(state.step) + 1, 1)
@@ -150,6 +202,7 @@ def main(cfg=None):
             if global_step % cfg.checkpointing_steps == 0:
                 ckpt.save(global_step, jax.device_get(state))
     ckpt.save(global_step, jax.device_get(state), wait=True)
+    tracker.finish()
     # final HF-layout export (pipeline.save_pretrained parity)
     from ctrlv_tpu.train.hf_export import save_pipeline
 
