@@ -44,10 +44,31 @@ def export_to_video(
     return output_path
 
 
+def export_to_frames(video_frames: List[np.ndarray], out_dir: str) -> str:
+    """Bit-exact PNG-sequence export (GIF merges identical consecutive
+    frames, so round-trip consumers — golden tests, offline metrics — use
+    this instead; STATUS r1 caveat 7)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, f in enumerate(video_frames):
+        Image.fromarray(np.asarray(f, np.uint8)).save(
+            os.path.join(out_dir, f"frame_{i:05d}.png")
+        )
+    return out_dir
+
+
 def load_video(path: str) -> np.ndarray:
-    """Animated GIF/image sequence -> (F, H, W, 3) uint8."""
+    """Animated GIF or PNG-sequence directory -> (F, H, W, 3) uint8."""
     from PIL import Image, ImageSequence
 
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith((".png", ".jpg"))
+        )
+        return np.stack(
+            [np.asarray(Image.open(os.path.join(path, f)).convert("RGB")) for f in files]
+        )
     img = Image.open(path)
     frames = [
         np.asarray(f.convert("RGB")) for f in ImageSequence.Iterator(img)

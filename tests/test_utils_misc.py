@@ -82,3 +82,16 @@ def test_offline_eval_pairing(tmp_path):
     assert len(pairs) == 2
     assert pairs[0][0].endswith("generated_video_0.gif")
     assert pairs[1][1].endswith("gt_video_3.gif")
+
+
+def test_png_sequence_roundtrip(tmp_path):
+    """PNG-sequence export is bit-exact even for identical consecutive
+    frames (which GIF export merges — STATUS r1 caveat 7)."""
+    from ctrlv_tpu.utils.video_io import export_to_frames, load_video
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(5, 8, 10, 3), dtype=np.uint8)
+    frames[2] = frames[1]  # identical consecutive frames survive
+    out = export_to_frames(list(frames), str(tmp_path / "seq"))
+    back = load_video(out)
+    np.testing.assert_array_equal(back, frames)

@@ -16,8 +16,9 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctrlv_tpu.data import get_dataloader
-from ctrlv_tpu.parallel import make_mesh
+from ctrlv_tpu.parallel import make_mesh, shard_train_state
 from ctrlv_tpu.train import CheckpointManager, make_optimizer, make_vae_decoder_train_step, trainable_mask
+from ctrlv_tpu.train.observability import Tracker, collect_demo_samples, run_vae_validation
 from ctrlv_tpu.train.state import init_train_state, vae_decoder_predicate
 from ctrlv_tpu.utils.config import parse_args
 
@@ -46,13 +47,20 @@ def main(cfg=None):
     step_fn = jax.jit(make_vae_decoder_train_step(models["vae"], tx), donate_argnums=(0,))
 
     mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    zero1 = cfg.optimizer_sharding == "zero1" or (
+        cfg.optimizer_sharding == "auto" and mesh.shape["data"] > 1
+    )
+    state = shard_train_state(state, mesh, zero1=zero1)
     batch_sharding = NamedSharding(mesh, P("data"))
 
     ckpt = CheckpointManager(
         os.path.join(cfg.output_dir, "checkpoints"),
         max_to_keep=cfg.checkpoints_total_limit,
     )
+    # observability (reference train_vae_finetuning.py:282-301)
+    tracker = Tracker(cfg)
+    demo_samples = collect_demo_samples(loader, cfg.num_demo_samples)
+
     rng = jax.random.PRNGKey(cfg.seed)
     global_step = 0
     max_steps = cfg.max_train_steps or (cfg.num_train_epochs * len(loader))
@@ -61,11 +69,19 @@ def main(cfg=None):
         for batch in loader:
             if global_step >= max_steps:
                 break
+            if (cfg.validation_steps and global_step > 0
+                    and global_step % cfg.validation_steps == 0):
+                vm = run_vae_validation(
+                    tracker, global_step, models["vae"], state.params,
+                    demo_samples, cfg,
+                )
+                print(f"validation @ step {global_step}: {vm}")
             clips, _ = batch_to_device(batch)
             clips = jax.device_put(clips, batch_sharding)
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, clips, key)
             global_step += 1
+            tracker.log_scalars(global_step, {"train_loss": metrics["loss"]})
             if global_step % 10 == 0 or global_step == 1:
                 print(
                     f"step {global_step} loss {float(metrics['loss']):.5f} "
@@ -74,6 +90,7 @@ def main(cfg=None):
             if global_step % cfg.checkpointing_steps == 0:
                 ckpt.save(global_step, jax.device_get(state))
     ckpt.save(global_step, jax.device_get(state), wait=True)
+    tracker.finish()
     return state
 
 

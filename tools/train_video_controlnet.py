@@ -18,8 +18,9 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctrlv_tpu.data import get_dataloader
-from ctrlv_tpu.parallel import make_mesh
+from ctrlv_tpu.parallel import make_mesh, shard_train_state
 from ctrlv_tpu.train import CheckpointManager, make_controlnet_train_step, make_optimizer
+from ctrlv_tpu.train.observability import Tracker, collect_demo_samples, run_validation
 from ctrlv_tpu.train.state import init_train_state
 from ctrlv_tpu.utils.config import parse_args
 
@@ -46,6 +47,8 @@ def main(cfg=None):
         lr_scheduler=cfg.lr_scheduler,
         lr_warmup_steps=cfg.lr_warmup_steps,
         max_train_steps=cfg.max_train_steps,
+        optimizer=cfg.optimizer,
+        mu_dtype=cfg.adam_mu_dtype,
     )
     if cfg.gradient_accumulation_steps > 1:
         import optax
@@ -65,9 +68,11 @@ def main(cfg=None):
     )
 
     mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
-    repl = NamedSharding(mesh, P())
     batch_sharding = NamedSharding(mesh, P("data"))
-    state = jax.device_put(state, repl)
+    zero1 = cfg.optimizer_sharding == "zero1" or (
+        cfg.optimizer_sharding == "auto" and mesh.shape["data"] > 1
+    )
+    state = shard_train_state(state, mesh, zero1=zero1)
 
     ckpt = CheckpointManager(
         os.path.join(cfg.output_dir, "checkpoints"),
@@ -81,9 +86,18 @@ def main(cfg=None):
             template=jax.device_get(state),
         )
         if restored is not None:
-            restored = jax.device_put(restored, repl)
-        if restored is not None:
-            state = restored
+            state = shard_train_state(restored, mesh, zero1=zero1)
+
+    # observability (reference train_video_controlnet.py:334-363)
+    tracker = Tracker(cfg)
+    demo_samples = collect_demo_samples(loader, cfg.num_demo_samples)
+    from ctrlv_tpu.pipelines import StableVideoControlPipeline
+
+    val_pipeline = StableVideoControlPipeline(
+        models["unet"], models["unet_params"], models["ctrl"],
+        models["ctrl_params"], models["vae"], models["vae_params"],
+        models["clip"], models["clip_params"],
+    )
 
     rng = jax.random.PRNGKey(cfg.seed)
     global_step = int(state.step)
@@ -93,6 +107,15 @@ def main(cfg=None):
         for batch in loader:
             if global_step >= max_steps:
                 break
+            if (cfg.validation_steps and global_step > 0
+                    and global_step % cfg.validation_steps == 0):
+                val_pipeline.controlnet_params = state.params
+                rng, vkey = jax.random.split(rng)
+                run_validation(
+                    tracker, global_step, val_pipeline, demo_samples, cfg,
+                    vkey, controlnet=True,
+                )
+                print(f"validation @ step {global_step}: media logged")
             clips, bbox = batch_to_device(batch)
             clips = jax.device_put(clips, batch_sharding)
             bbox = jax.device_put(bbox, batch_sharding)
@@ -102,6 +125,10 @@ def main(cfg=None):
                 models["clip_params"], clips, bbox, key,
             )
             global_step += 1
+            tracker.log_scalars(
+                global_step,
+                {"train_loss": metrics["loss"], "grad_norm": metrics["grad_norm"]},
+            )
             if global_step % 10 == 0 or global_step == 1:
                 print(
                     f"step {global_step} loss {float(metrics['loss']):.4f} "
@@ -110,6 +137,7 @@ def main(cfg=None):
             if global_step % cfg.checkpointing_steps == 0:
                 ckpt.save(global_step, jax.device_get(state))
     ckpt.save(global_step, jax.device_get(state), wait=True)
+    tracker.finish()
     from ctrlv_tpu.train.hf_export import save_pipeline
 
     save_pipeline(
