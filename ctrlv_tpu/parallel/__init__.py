@@ -3,7 +3,9 @@ from .sharding import (
     shard_batch_frames,
     replicate,
     shard_params,
+    shard_train_state,
     data_parallel_sharding,
+    zero1_sharding_tree,
 )
 
 __all__ = [
@@ -12,5 +14,7 @@ __all__ = [
     "shard_batch_frames",
     "replicate",
     "shard_params",
+    "shard_train_state",
     "data_parallel_sharding",
+    "zero1_sharding_tree",
 ]

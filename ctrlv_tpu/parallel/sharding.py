@@ -45,3 +45,45 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     """
     sharding = replicate(mesh)
     return jax.device_put(params, sharding)
+
+
+def zero1_sharding_tree(tree: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    """Per-leaf NamedShardings that shard the largest data-axis-divisible
+    dimension over the "data" axis (ZeRO-1 optimizer-state partitioning).
+
+    Leaves smaller than min_size elements, or with no divisible axis,
+    replicate. Under jit, XLA's SPMD partitioner turns the layout into the
+    reduce-scatter(moment update) + all-gather(param update) pattern —
+    there is no hand-written collective (the reference has no equivalent;
+    its DDP replicates optimizer state per GPU).
+    """
+    n = mesh.shape[AXES.data]
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        size = int(getattr(x, "size", 0) or 0)
+        if n <= 1 or size < min_size:
+            return replicate(mesh)
+        divisible = [(d, i) for i, d in enumerate(shape) if d % n == 0 and d >= n]
+        if not divisible:
+            return replicate(mesh)
+        _, axis = max(divisible)
+        spec = [None] * len(shape)
+        spec[axis] = AXES.data
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(leaf, tree)
+
+
+def shard_train_state(state: Any, mesh: Mesh, zero1: bool = False) -> Any:
+    """Place a TrainState on the mesh: params/step replicated, optimizer
+    moments ZeRO-1 sharded over the data axis when zero1=True."""
+    if not zero1:
+        return jax.device_put(state, replicate(mesh))
+    import dataclasses
+
+    shardings = dataclasses.replace(
+        jax.tree.map(lambda _: replicate(mesh), state),
+        opt_state=zero1_sharding_tree(state.opt_state, mesh),
+    )
+    return jax.device_put(state, shardings)
