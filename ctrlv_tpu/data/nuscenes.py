@@ -32,6 +32,110 @@ def view_points(points: np.ndarray, view: np.ndarray) -> np.ndarray:
     return pts[:2] / np.maximum(pts[2:3], 1e-6)
 
 
+def resample_by_timestamps(timestamps_sec: np.ndarray, target_fps: float = 7.0) -> List[int]:
+    """Timestamp-driven fps downsampling (reference nuscenes_.py:283-306).
+
+    Keeps frame 0, then selects the next frame whenever the cumulative
+    elapsed time reaches `1/target_fps - 0.05` (the reference's correction
+    term; its comment notes the effective rate lands nearer 8 Hz), resetting
+    the accumulator at each selection.
+    """
+    timestamps_sec = np.asarray(timestamps_sec, dtype=np.float64)
+    target_period = 1.0 / target_fps - 0.05
+    selected = [0]
+    cumul = 0.0
+    for i in range(len(timestamps_sec) - 1):
+        cumul += timestamps_sec[i + 1] - timestamps_sec[i]
+        if cumul >= target_period:
+            selected.append(i + 1)
+            cumul = 0.0
+    return selected
+
+
+def _convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns the CCW hull (handles N<3)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(iterable):
+        out = []
+        for p in iterable:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def _clip_polygon(poly: np.ndarray, width: float, height: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of a (possibly degenerate) convex polygon
+    against the [0,width]x[0,height] canvas."""
+    edges = (
+        lambda p: p[0] >= 0.0,
+        lambda p: p[0] <= width,
+        lambda p: p[1] >= 0.0,
+        lambda p: p[1] <= height,
+    )
+    lines = ((0, 0.0), (0, width), (1, 0.0), (1, height))
+    out = [tuple(p) for p in np.asarray(poly, dtype=np.float64)]
+    for inside, (axis, bound) in zip(edges, lines):
+        if not out:
+            break
+        pts, out = out, []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = np.asarray(pts[i]), np.asarray(pts[(i + 1) % n])
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(tuple(cur))
+            if cin != nin and cur[axis] != nxt[axis]:
+                t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
+                out.append(tuple(cur + t * (nxt - cur)))
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def post_process_coords(
+    corner_coords: np.ndarray, imsize: tuple = (1600, 900)
+) -> Optional[tuple]:
+    """Intersect the convex hull of projected 2D corners with the image
+    canvas; return its (min_x, min_y, max_x, max_y) or None if the hull
+    misses the canvas entirely — native equivalent of the devkit's
+    shapely-based post_process_coords used by the reference
+    (nuscenes_.py:479-489)."""
+    pts = np.asarray(corner_coords, dtype=np.float64).reshape(-1, 2)
+    if len(pts) == 0:
+        return None
+    hull = _convex_hull(pts)
+    clipped = _clip_polygon(hull, float(imsize[0]), float(imsize[1]))
+    if len(clipped) == 0:
+        return None
+    min_x, min_y = clipped.min(axis=0)
+    max_x, max_y = clipped.max(axis=0)
+    return float(min_x), float(min_y), float(max_x), float(max_y)
+
+
+def project_box_to_2d(
+    corners_3d: np.ndarray, intrinsic: np.ndarray, imsize: tuple = (1600, 900)
+) -> Optional[tuple]:
+    """(3,8) camera-frame corners -> clipped 2D bbox or None.
+
+    Reference semantics (nuscenes_.py:473-489): drop only the corners
+    BEHIND the sensor (keeping partially visible boxes), project the rest,
+    then convex-hull-intersect with the canvas.
+    """
+    corners_3d = np.asarray(corners_3d, dtype=np.float64)
+    in_front = corners_3d[2, :] > 0
+    if not in_front.any():
+        return None
+    pts = view_points(corners_3d[:, in_front], np.asarray(intrinsic))
+    return post_process_coords(pts.T, imsize=imsize)
+
+
 @dataclasses.dataclass
 class NuScenesDataset(VideoDataset):
     version: str = "v1.0-trainval"
@@ -56,19 +160,21 @@ class NuScenesDataset(VideoDataset):
             version=self.version, dataroot=os.path.join(self.root, "nuscenes"),
             verbose=False,
         )
-        # Front-cam sample_data tokens per scene, resampled 12Hz -> target_fps.
+        # Front-cam sample_data tokens per scene, resampled 12Hz -> target_fps
+        # by cumulative timestamp deltas (reference nuscenes_.py:283-306).
         self.clips: List[List[str]] = []
-        step = max(int(round(12.0 / self.target_fps)), 1)
         for scene in self.nusc.scene:
-            tokens = []
+            tokens, stamps = [], []
             sd = self.nusc.get("sample", scene["first_sample_token"])
             cam = self.nusc.get("sample_data", sd["data"]["CAM_FRONT"])
             while cam is not None:
                 tokens.append(cam["token"])
+                stamps.append(cam["timestamp"] / 1e6)
                 cam = (
                     self.nusc.get("sample_data", cam["next"]) if cam["next"] else None
                 )
-            tokens = tokens[::step]
+            keep = resample_by_timestamps(np.asarray(stamps), self.target_fps)
+            tokens = [tokens[i] for i in keep]
             for ci in range(len(tokens) // self.clip_length):
                 self.clips.append(
                     tokens[ci * self.clip_length : (ci + 1) * self.clip_length]
@@ -90,12 +196,12 @@ class NuScenesDataset(VideoDataset):
         _, boxes, camera_intrinsic = self.nusc.get_sample_data(token)
         labels = []
         for box in boxes:
-            corners = box.corners()  # (3, 8) camera frame
-            if (corners[2] < 0.1).any():
-                continue  # behind camera
-            pts = view_points(corners, camera_intrinsic)
-            x1, y1 = pts.min(axis=1)
-            x2, y2 = pts.max(axis=1)
+            coords = project_box_to_2d(
+                box.corners(), camera_intrinsic, imsize=(self.orig_W, self.orig_H)
+            )
+            if coords is None:
+                continue  # fully behind camera or hull misses the canvas
+            x1, y1, x2, y2 = coords
             labels.append(
                 dict(
                     frame=offset,
