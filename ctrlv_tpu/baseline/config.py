@@ -71,3 +71,31 @@ class BaselineConfig:
         )
         defaults.update(kw)
         return cls(**defaults)
+
+
+def config_from_overrides(argv=None) -> BaselineConfig:
+    """Hydra-style `key=value` CLI overrides — the launch interface the
+    reference's baseline uses (bbox_generator_baseline/train.py:14 Hydra;
+    scripts/train_scripts/demo_train_bbox_trajeglish_baseline.sh)."""
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    fields = {f.name: f for f in dataclasses.fields(BaselineConfig)}
+    overrides = {}
+    for arg in argv:
+        key, sep, value = arg.partition("=")
+        if not sep or key not in fields:
+            raise SystemExit(
+                f"unknown override {arg!r}; expected key=value with key in "
+                f"{sorted(fields)}"
+            )
+        ann = str(fields[key].type)
+        if "bool" in ann:
+            overrides[key] = value.lower() in ("1", "true", "yes")
+        elif "int" in ann:
+            overrides[key] = int(value)
+        elif "float" in ann:
+            overrides[key] = float(value)
+        else:
+            overrides[key] = value
+    return BaselineConfig(**overrides)

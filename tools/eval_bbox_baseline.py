@@ -78,4 +78,6 @@ def main(cfg: BaselineConfig = None, num_samples=4, params=None, dataset_name=No
 
 
 if __name__ == "__main__":
-    main()
+    from ctrlv_tpu.baseline.config import config_from_overrides
+
+    main(cfg=config_from_overrides())

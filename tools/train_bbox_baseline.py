@@ -107,4 +107,6 @@ def main(cfg: BaselineConfig = None, max_steps=None, dataset_name=None):
 
 
 if __name__ == "__main__":
-    main()
+    from ctrlv_tpu.baseline.config import config_from_overrides
+
+    main(cfg=config_from_overrides())
