@@ -101,6 +101,83 @@ class InceptionI3d(nn.Module):
         return logits
 
 
+def i3d_torch_to_flax(state_dict: dict, expected: Optional[dict] = None) -> dict:
+    """Convert a pytorch-i3d style Kinetics-400 state dict (the weights the
+    reference's TorchScript graph wraps, metrics/fvd.py:116-123) into the
+    flax InceptionI3d variable tree ({"params", "batch_stats"}).
+
+    Torch layout: `<block>.<branch>.conv3d.weight` (O,I,kt,kh,kw),
+    `<...>.bn.{weight,bias,running_mean,running_var}`, and a conv-shaped
+    `logits.conv3d.{weight,bias}` head that maps onto our Dense logits.
+    Strict: raises if the converted tree does not exactly cover `expected`.
+    """
+    import flax
+
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    for name, tensor in state_dict.items():
+        arr = np.asarray(tensor)
+        parts = name.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        if parts[:2] == ["logits", "conv3d"]:
+            # (400, 1024, 1, 1, 1) conv head -> Dense kernel (1024, 400)
+            if parts[-1] == "weight":
+                put(params, ("logits", "kernel"), arr.reshape(arr.shape[:2]).T)
+            else:
+                put(params, ("logits", "bias"), arr)
+            continue
+        module_path = tuple(parts[:-1])
+        leaf = parts[-1]
+        if parts[-2] == "conv3d":
+            if leaf == "weight":
+                put(params, module_path + ("kernel",), arr.transpose(2, 3, 4, 1, 0))
+            else:
+                put(params, module_path + ("bias",), arr)
+        elif parts[-2] == "bn":
+            if leaf == "weight":
+                put(params, module_path + ("scale",), arr)
+            elif leaf == "bias":
+                put(params, module_path + ("bias",), arr)
+            elif leaf == "running_mean":
+                put(batch_stats, module_path + ("mean",), arr)
+            elif leaf == "running_var":
+                put(batch_stats, module_path + ("var",), arr)
+            else:
+                raise ValueError(f"unexpected bn leaf in {name}")
+        else:
+            raise ValueError(f"unrecognized I3D key {name}")
+
+    tree = {"params": params, "batch_stats": batch_stats}
+    if expected is not None:
+        got = set(flax.traverse_util.flatten_dict(tree))
+        want = set(flax.traverse_util.flatten_dict(expected))
+        if got != want:
+            missing = sorted(want - got)[:8]
+            extra = sorted(got - want)[:8]
+            raise ValueError(
+                f"I3D conversion mismatch: missing={missing} "
+                f"({len(want - got)}), extra={extra} ({len(got - want)})"
+            )
+        exp_flat = flax.traverse_util.flatten_dict(expected)
+        got_flat = flax.traverse_util.flatten_dict(tree)
+        bad = {
+            k: (got_flat[k].shape, np.shape(exp_flat[k]))
+            for k in want
+            if tuple(got_flat[k].shape) != tuple(np.shape(exp_flat[k]))
+        }
+        if bad:
+            raise ValueError(f"I3D shape mismatch: {dict(list(bad.items())[:6])}")
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # preprocessing + Frechet math
 # ---------------------------------------------------------------------------

@@ -277,6 +277,48 @@ def svd_xt_vae_manifest() -> Manifest:
 
 
 # ---------------------------------------------------------------------------
+# Kinetics-400 I3D (pytorch-i3d layout — the weights wrapped by the
+# TorchScript graph the reference's FVD downloads, metrics/fvd.py:116-123)
+# ---------------------------------------------------------------------------
+
+_I3D_BLOCKS = (
+    # (name, in_channels, (b0, b1a, b1b, b2a, b2b, b3b))
+    ("Mixed_3b", 192, (64, 96, 128, 16, 32, 32)),
+    ("Mixed_3c", 256, (128, 128, 192, 32, 96, 64)),
+    ("Mixed_4b", 480, (192, 96, 208, 16, 48, 64)),
+    ("Mixed_4c", 512, (160, 112, 224, 24, 64, 64)),
+    ("Mixed_4d", 512, (128, 128, 256, 24, 64, 64)),
+    ("Mixed_4e", 512, (112, 144, 288, 32, 64, 64)),
+    ("Mixed_4f", 528, (256, 160, 320, 32, 128, 128)),
+    ("Mixed_5b", 832, (256, 160, 320, 32, 128, 128)),
+    ("Mixed_5c", 832, (384, 192, 384, 48, 128, 128)),
+)
+
+
+def _i3d_unit(d: Manifest, name: str, i: int, o: int, k: int) -> None:
+    d[f"{name}.conv3d.weight"] = (o, i, k, k, k)
+    for leaf in ("weight", "bias", "running_mean", "running_var"):
+        d[f"{name}.bn.{leaf}"] = (o,)
+
+
+def i3d_manifest() -> Manifest:
+    d: Manifest = {}
+    _i3d_unit(d, "Conv3d_1a_7x7", 3, 64, 7)
+    _i3d_unit(d, "Conv3d_2b_1x1", 64, 64, 1)
+    _i3d_unit(d, "Conv3d_2c_3x3", 64, 192, 3)
+    for name, c_in, (b0, b1a, b1b, b2a, b2b, b3b) in _I3D_BLOCKS:
+        _i3d_unit(d, f"{name}.b0", c_in, b0, 1)
+        _i3d_unit(d, f"{name}.b1a", c_in, b1a, 1)
+        _i3d_unit(d, f"{name}.b1b", b1a, b1b, 3)
+        _i3d_unit(d, f"{name}.b2a", c_in, b2a, 1)
+        _i3d_unit(d, f"{name}.b2b", b2a, b2b, 3)
+        _i3d_unit(d, f"{name}.b3b", c_in, b3b, 1)
+    d["logits.conv3d.weight"] = (400, 1024, 1, 1, 1)
+    d["logits.conv3d.bias"] = (400,)
+    return d
+
+
+# ---------------------------------------------------------------------------
 # CLIP ViT-H/14 image encoder (transformers CLIPVisionModelWithProjection).
 # Generated live from the installed transformers library in tests (meta
 # device, no weight materialization) — authoritative, not hand-authored.
