@@ -20,3 +20,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "mesh: compile-heavy multi-device/train tests; quick pass = "
+        "pytest -m 'not mesh' (full suite is compile-bound on 1-core hosts)",
+    )

@@ -16,6 +16,8 @@ from ctrlv_tpu.pipelines import (
 )
 from helpers import build_tiny_models
 
+pytestmark = pytest.mark.mesh
+
 F, H, W = 3, 32, 32
 
 

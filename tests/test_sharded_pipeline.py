@@ -10,6 +10,8 @@ from ctrlv_tpu.parallel import make_mesh
 from ctrlv_tpu.pipelines import VideoDiffusionPipeline
 from helpers import build_tiny_models
 
+pytestmark = pytest.mark.mesh
+
 F, H, W = 4, 32, 32
 
 

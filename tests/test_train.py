@@ -27,6 +27,8 @@ from ctrlv_tpu.train.state import (
 )
 from helpers import build_tiny_models
 
+pytestmark = pytest.mark.mesh
+
 F, H, W = 3, 32, 32
 
 
