@@ -20,9 +20,60 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, get_attention_impl
+from ..ops.group_norm import group_norm as fused_group_norm
+from ..ops.layer_norm import layer_norm as fused_layer_norm
+from ..ops.mha import (
+    mha_attention,
+    mha_supported,
+    small_mha_attention,
+    small_mha_supported,
+)
 
 Dtype = jnp.dtype
+
+
+class FusedLayerNorm(nn.Module):
+    """LayerNorm backed by the fused Pallas kernel (ops/layer_norm.py).
+
+    Drop-in for `nn.LayerNorm(dtype=f32)(x).astype(out_dtype)`: identical
+    param tree (scale/bias), f32 statistics, single fused pass on TPU.
+    """
+
+    epsilon: float = 1e-6
+    out_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return fused_layer_norm(x, scale, bias, eps=self.epsilon).astype(self.out_dtype)
+
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm(+optional SiLU) backed by the Pallas fused kernel.
+
+    Drop-in for `nn.GroupNorm(dtype=f32)(x).astype(dtype)` (+ `nn.silu`):
+    identical param tree (scale/bias), f32 statistics, output cast to
+    out_dtype. Falls back to the XLA path off-TPU or for oversized slabs
+    (ctrlv_tpu.ops.group_norm routing).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    act: Optional[str] = None
+    out_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = fused_group_norm(
+            x, scale, bias, num_groups=self.num_groups, eps=self.epsilon, act=self.act
+        )
+        return y.astype(self.out_dtype)
 
 
 def get_timestep_embedding(
@@ -138,20 +189,53 @@ class Attention(nn.Module):
             )(hidden_states).astype(self.dtype)
 
         ctx = hidden_states if context is None else context
+        b, sq = hidden_states.shape[0], hidden_states.shape[1]
+
+        if context is not None and context.shape[1] == 1:
+            # Cross-attention to a single token (SVD's CLIP conditioning):
+            # softmax over one key is identically 1, so attention == V and
+            # the whole block collapses to broadcast(to_out(to_v(ctx))).
+            # Exact — including gradients: d softmax(single)/d logit == 0,
+            # so to_q/to_k get zero grads either way. The 1-token calls
+            # below exist to keep the diffusers-compatible param tree.
+            _ = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(
+                hidden_states[:, :1]
+            )
+            _ = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
+            v1 = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
+            out1 = nn.Dense(
+                self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0"
+            )(v1)
+            out = jnp.broadcast_to(out1, (b, sq, self.query_dim))
+            if self.residual_connection:
+                out = out + residual
+            return out
+
         q = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(
             hidden_states
         )
         k = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner_dim, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
 
-        b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
-        q = q.reshape(b, sq, self.heads, self.dim_head)
-        k = k.reshape(b, sk, self.heads, self.dim_head)
-        v = v.reshape(b, sk, self.heads, self.dim_head)
-
-        out = dot_product_attention(q, k, v)
-        out = out.reshape(b, sq, inner_dim)
+        scale = self.dim_head**-0.5
+        itemsize = jnp.dtype(self.dtype).itemsize
+        if get_attention_impl() != "xla" and mha_supported(
+            sq, sk, inner_dim, self.heads, itemsize
+        ):
+            # layout-native kernel: consumes the Dense outputs directly,
+            # no (B,S,H,D) relayout ever reaches HBM (ops/mha.py)
+            out = mha_attention(q, k, v, self.heads, scale)
+        elif get_attention_impl() != "xla" and small_mha_supported(
+            b, sq, sk, inner_dim, self.heads, itemsize
+        ):
+            # temporal attention: tiny frame sequence, huge pixel batch
+            out = small_mha_attention(q, k, v, self.heads, scale)
+        else:
+            q = q.reshape(b, sq, self.heads, self.dim_head)
+            k = k.reshape(b, sk, self.heads, self.dim_head)
+            v = v.reshape(b, sk, self.heads, self.dim_head)
+            out = dot_product_attention(q, k, v).reshape(b, sq, inner_dim)
         out = nn.Dense(
             self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0"
         )(out)

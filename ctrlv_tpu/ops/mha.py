@@ -1,0 +1,237 @@
+"""Layout-native fused multi-head attention Pallas kernel.
+
+Motivation (PERF.md "Per-fusion profile"): XLA's attention at the SVD hot
+spatial shape (B=50, S=2560, heads=5, d=64) materializes a pathological
+[B,S,H,D]->[B,H,D,S] relayout costing 5.7 ms per attention (~40 ms/step
+across the 7 full-res attentions) because the einsum path wants K/V in
+head-major layout. This kernel consumes Q/K/V exactly as the QKV Dense
+layers produce them — (B, S, H*D), default layout — and loops heads via
+static lane slices inside VMEM, so no HBM relayout exists at all. Scores
+live only in VMEM (never written to HBM).
+
+Backward: custom_vjp recomputes with the XLA reference path (standard
+remat; backward matmuls are MXU-bound either way).
+
+Replaces the reference's xformers CUDA attention
+(/root/reference/tools/train_video_diffusion.py:142-153) for the spatial
+self-attention shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for K+V residency (bytes) — one (Sk, HD) pair per program.
+_MAX_KV_BYTES = 8 * 1024 * 1024
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+    """One-pass blocked attention, heads packed in the lane axis.
+
+    K/V stay fully VMEM-resident per (batch, q-tile) program; each head's
+    (block_q, Sk) score tile lives only in VMEM. Measured faster than a
+    flash-style running-max k-block loop at the SVD shapes (fori overhead
+    + rescale traffic outweigh the pipelining win when K fits VMEM).
+    """
+    q = q_ref[0]  # (bq, H*D)
+    k = k_ref[0]  # (Sk, H*D)
+    v = v_ref[0]
+    hd = q.shape[-1]
+    d = hd // heads
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, sl],
+            k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, Sk)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
+        o_ref[0, :, sl] = jnp.dot(
+            w, v[:, sl], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _pick_block_q(seq_q: int) -> int:
+    for cand in (512, 256, 128):
+        if seq_q % cand == 0:
+            return cand
+    return 0
+
+
+def mha_supported(sq: int, sk: int, hd: int, heads: int, itemsize: int) -> bool:
+    d = hd // heads
+    # Route to the kernel only where XLA's einsum path is pathological
+    # (the [B,S,H,D]->[B,H,D,S] relayout at long S); XLA wins at S<=640.
+    return (
+        hd % heads == 0
+        and d in (64, 128)
+        and sq >= 1024
+        and sk >= 1024
+        and sk % 128 == 0
+        and _pick_block_q(sq) > 0
+        and 2 * sk * hd * itemsize <= _MAX_KV_BYTES
+    )
+
+
+def _xla_mha(q3, k3, v3, heads, scale):
+    b, sq, hd = q3.shape
+    sk = k3.shape[1]
+    d = hd // heads
+    q = q3.reshape(b, sq, heads, d)
+    k = k3.reshape(b, sk, heads, d)
+    v = v3.reshape(b, sk, heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * scale, axis=-1).astype(q3.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    return out.reshape(b, sq, hd)
+
+
+def _mha_forward(q3, k3, v3, heads, scale):
+    b, sq, hd = q3.shape
+    sk = k3.shape[1]
+    block_q = _pick_block_q(sq)
+    interpret = jax.default_backend() != "tpu"
+    grid = (b, sq // block_q)
+    d = hd // heads
+    return pl.pallas_call(
+        functools.partial(_mha_kernel, heads=heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q3.dtype),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sq * sk * hd,
+            bytes_accessed=2 * (q3.size + k3.size + v3.size) * q3.dtype.itemsize,
+            transcendentals=b * heads * sq * sk,
+        ),
+    )(q3, k3, v3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def mha_attention(q3, k3, v3, heads: int, scale: float):
+    """Multi-head attention over (B, S, H*D) tensors, heads packed in lanes."""
+    return _mha_forward(q3, k3, v3, heads, scale)
+
+
+def _mha_fwd(q3, k3, v3, heads, scale):
+    return _mha_forward(q3, k3, v3, heads, scale), (q3, k3, v3)
+
+
+def _mha_bwd(heads, scale, res, g):
+    q3, k3, v3 = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_mha(q_, k_, v_, heads, scale), q3, k3, v3)
+    return vjp(g)
+
+
+mha_attention.defvjp(_mha_fwd, _mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batched small-sequence attention (the SVD temporal attention: seq = 25
+# frames, huge batch = B*H*W pixels). XLA lowers this to thousands of
+# sub-MXU-tile (25,64)@(64,25) matmuls in f32 plus BSHD relayout copies
+# (~60 ms/step measured, PERF.md). This kernel blocks the batch axis into
+# VMEM-resident tiles and keeps scores on-chip.
+# ---------------------------------------------------------------------------
+
+# Keep blocks small: each head's (nb, F, F) f32 score tile pads F->(32,128)
+# on TPU, and the unrolled head loop holds several such tiles live.
+_SMALL_BLOCK_BYTES = 512 * 1024
+
+
+def _pick_block_n(n: int, f: int, hd: int, itemsize: int) -> int:
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if n % cand == 0 and cand * f * hd * itemsize <= _SMALL_BLOCK_BYTES:
+            return cand
+    return 0
+
+
+def small_mha_supported(n: int, sq: int, sk: int, hd: int, heads: int, itemsize: int) -> bool:
+    return (
+        sq == sk
+        and 2 <= sq <= 64
+        and hd % heads == 0
+        and (hd // heads) in (64, 128)
+        and n >= 256
+        and _pick_block_n(n, sq, hd, itemsize) > 0
+    )
+
+
+def _small_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+    q = q_ref[:]  # (nb, F, H*D)
+    k = k_ref[:]
+    v = v_ref[:]
+    hd = q.shape[-1]
+    d = hd // heads
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, :, sl],
+            k[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (nb, F, F)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
+        o_ref[:, :, sl] = jax.lax.dot_general(
+            w,
+            v[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _small_forward(q3, k3, v3, heads, scale):
+    n, f, hd = q3.shape
+    nb = _pick_block_n(n, f, hd, q3.dtype.itemsize)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        functools.partial(_small_kernel, heads=heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((n, f, hd), q3.dtype),
+        grid=(n // nb,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((nb, f, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((nb, f, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * f * f * hd,
+            bytes_accessed=2 * (q3.size + k3.size + v3.size) * q3.dtype.itemsize,
+            transcendentals=n * heads * f * f,
+        ),
+    )(q3, k3, v3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def small_mha_attention(q3, k3, v3, heads: int, scale: float):
+    """Attention over (N, F, H*D) with tiny F and huge N (temporal attn)."""
+    return _small_forward(q3, k3, v3, heads, scale)
+
+
+def _small_fwd(q3, k3, v3, heads, scale):
+    return _small_forward(q3, k3, v3, heads, scale), (q3, k3, v3)
+
+
+def _small_bwd(heads, scale, res, g):
+    q3, k3, v3 = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_mha(q_, k_, v_, heads, scale), q3, k3, v3)
+    return vjp(g)
+
+
+small_mha_attention.defvjp(_small_fwd, _small_bwd)
