@@ -121,14 +121,23 @@ def decode_latents(vae, vae_params, latents, scaling_factor, decode_chunk_size=N
     b, f = latents.shape[:2]
     latents = latents / scaling_factor
     chunk = decode_chunk_size or f
+    # All full-size chunks decode as ONE batched call (the temporal decoder
+    # derives its clip count from bf // num_frames, so stacking chunks on
+    # the batch axis matches sequential decoding up to fp reassociation) —
+    # better MXU utilization than the reference's Python chunk loop.
+    n_full, rem = divmod(f, chunk)
     outs = []
-    for start in range(0, f, chunk):
-        piece = latents[:, start : start + chunk]
-        n = piece.shape[1]
-        flat = piece.reshape((b * n,) + piece.shape[2:])
-        dec = vae.apply(vae_params, flat, n, method=vae.decode)
-        outs.append(dec.reshape((b, n) + dec.shape[1:]))
-    return jnp.concatenate(outs, axis=1)
+    if n_full:
+        piece = latents[:, : n_full * chunk]
+        flat = piece.reshape((b * n_full * chunk,) + piece.shape[2:])
+        dec = vae.apply(vae_params, flat, chunk, method=vae.decode)
+        outs.append(dec.reshape((b, n_full * chunk) + dec.shape[1:]))
+    if rem:
+        piece = latents[:, n_full * chunk :]
+        flat = piece.reshape((b * rem,) + piece.shape[2:])
+        dec = vae.apply(vae_params, flat, rem, method=vae.decode)
+        outs.append(dec.reshape((b, rem) + dec.shape[1:]))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def postprocess_frames(frames):

@@ -114,3 +114,25 @@ def test_group_norm_matches_reference():
         np.testing.assert_allclose(
             np.asarray(y).reshape(4, 48, 320), np.asarray(r), atol=1e-5
         )
+
+
+def test_batched_chunk_decode_matches_sequential():
+    """decode_latents batches equal-size chunks into one VAE call; equal to
+    the reference's sequential chunk loop up to fp reassociation (the
+    batched program reduces in a different order)."""
+    from ctrlv_tpu.models import AutoencoderKLTemporalDecoder, VAEConfig
+    from ctrlv_tpu.pipelines.common import decode_latents
+
+    vae = AutoencoderKLTemporalDecoder(config=VAEConfig.tiny())
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 8, 8, 4))
+    params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    out = decode_latents(vae, params, lat, 0.18, decode_chunk_size=2)
+    outs = []
+    for s in range(0, 5, 2):
+        p = lat[:, s : s + 2] / 0.18
+        n = p.shape[1]
+        d = vae.apply(params, p.reshape((n,) + p.shape[2:]), n, method=vae.decode)
+        outs.append(d.reshape((1, n) + d.shape[1:]))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.concatenate(outs, axis=1)), atol=2e-5
+    )
