@@ -1,3 +1,23 @@
-from .attention import dot_product_attention, set_attention_impl, get_attention_impl
+from .attention import dot_product_attention, get_attention_impl, set_attention_impl
+from .layer_norm import layer_norm, set_fused_layer_norm
+from .group_norm import group_norm, set_fused_group_norm
+from .mha import (
+    mha_attention,
+    mha_supported,
+    small_mha_attention,
+    small_mha_supported,
+)
 
-__all__ = ["dot_product_attention", "set_attention_impl", "get_attention_impl"]
+__all__ = [
+    "dot_product_attention",
+    "set_attention_impl",
+    "get_attention_impl",
+    "layer_norm",
+    "set_fused_layer_norm",
+    "group_norm",
+    "set_fused_group_norm",
+    "mha_attention",
+    "mha_supported",
+    "small_mha_attention",
+    "small_mha_supported",
+]
