@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, get_attention_impl
+from ..ops.geglu_ff import gelu_erf
 from ..ops.group_norm import group_norm as fused_group_norm
 from ..ops.layer_norm import layer_norm as fused_layer_norm
 from ..ops.mha import (
@@ -252,7 +253,10 @@ class GEGLU(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gate)
+        # exact erf gelu (torch F.gelu default, used by diffusers' GEGLU) via
+        # the cheap polynomial erf — see ops/geglu_ff.py::gelu_erf. The flax
+        # default (tanh approximation) was a silent parity drift.
+        return x * gelu_erf(gate)
 
 
 class FeedForward(nn.Module):
@@ -285,7 +289,10 @@ class BasicTransformerBlock(nn.Module):
         self, hidden_states: jnp.ndarray, encoder_hidden_states: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         def ln(name):
-            return nn.LayerNorm(dtype=jnp.float32, name=name)
+            # eps 1e-5: torch nn.LayerNorm default, used by the diffusers
+            # BasicTransformerBlock (reference attention.py:124 norm_eps=1e-5);
+            # the flax default 1e-6 was a silent parity drift.
+            return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
 
         attn_kwargs = dict(
             query_dim=self.dim,
@@ -331,7 +338,10 @@ class TemporalBasicTransformerBlock(nn.Module):
         self, hidden_states: jnp.ndarray, encoder_hidden_states: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         def ln(name):
-            return nn.LayerNorm(dtype=jnp.float32, name=name)
+            # eps 1e-5: torch nn.LayerNorm default, used by the diffusers
+            # BasicTransformerBlock (reference attention.py:124 norm_eps=1e-5);
+            # the flax default 1e-6 was a silent parity drift.
+            return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
 
         attn_kwargs = dict(
             query_dim=self.dim,

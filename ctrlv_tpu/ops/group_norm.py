@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 # must fit the ~16 MB VMEM; 2 MB slab => <10 MB live).
 _MAX_SLAB_BYTES = 2 * 1024 * 1024
 
-_FUSED_GN = True
+# OFF by default: same in-graph fusion-boundary regression as the LN
+# kernel (see ops/layer_norm.py) plus conv-layout relayouts (PERF.md).
+_FUSED_GN = False
 
 
 def set_fused_group_norm(on: bool) -> None:

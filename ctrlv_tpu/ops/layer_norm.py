@@ -22,7 +22,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_FUSED_LN = True
+# OFF by default: a hardware trace (2026-08-17, PERF.md round-2 addendum)
+# showed in-graph LN custom calls cost MORE than XLA's fused LNs — the
+# call boundary strips the fusion anchors, so residual adds / AlphaBlender
+# / LN-apply chains that previously fused into matmul operand reads
+# materialize as ~78 ms/step of standalone elementwise passes, plus
+# flatten/unflatten copies. The kernel IS faster in isolation; it loses
+# in-graph. Re-enable only with a trace that beats 462 ms/step.
+_FUSED_LN = False
 
 
 def set_fused_layer_norm(on: bool) -> None:

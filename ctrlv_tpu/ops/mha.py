@@ -37,30 +37,45 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
     (block_q, Sk) score tile lives only in VMEM. Measured faster than a
     flash-style running-max k-block loop at the SVD shapes (fori overhead
     + rescale traffic outweigh the pipelining win when K fits VMEM).
+
+    Two scheduling tricks vs the naive loop:
+    - the softmax normalization divide is folded into the (bq, D) output
+      (one multiply per output element instead of one divide per score);
+    - head h+1's logits matmul is issued BEFORE head h's softmax+AV
+      consume their tile, giving the scheduler an independent MXU op to
+      overlap with the VPU exp pass (software pipeline over heads).
     """
     q = q_ref[0]  # (bq, H*D)
     k = k_ref[0]  # (Sk, H*D)
     v = v_ref[0]
     hd = q.shape[-1]
     d = hd // heads
-    for h in range(heads):
+
+    def logits(h):
         sl = slice(h * d, (h + 1) * d)
-        logits = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q[:, sl],
             k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (bq, Sk)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
-        o_ref[0, :, sl] = jnp.dot(
-            w, v[:, sl], preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+
+    l_cur = logits(0)
+    for h in range(heads):
+        l_next = logits(h + 1) if h + 1 < heads else None  # MXU, independent
+        m = jnp.max(l_cur, axis=-1, keepdims=True)
+        p = jnp.exp(l_cur - m)  # VPU — overlaps l_next's matmul
+        r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)  # (bq, 1)
+        sl = slice(h * d, (h + 1) * d)
+        o = jnp.dot(p.astype(o_ref.dtype), v[:, sl], preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o * r).astype(o_ref.dtype)
+        l_cur = l_next
 
 
 def _pick_block_q(seq_q: int) -> int:
-    for cand in (512, 256, 128):
+    # 128 first: the head-pipelined kernel keeps two (bq, Sk) f32 logits
+    # tiles + one exp tile alive; 256 blocks overflow VMEM by ~0.3 MB.
+    for cand in (128, 256, 512):
         if seq_q % cand == 0:
             return cand
     return 0

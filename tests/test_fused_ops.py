@@ -23,6 +23,20 @@ from ctrlv_tpu.ops.mha import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _reset_fused_toggles():
+    """The fused elementwise kernels are opt-in (measured net-negative
+    in-graph, see ops/*.py docstrings); restore defaults after each test."""
+    yield
+    from ctrlv_tpu.ops.geglu_ff import set_fused_geglu_ff
+    from ctrlv_tpu.ops.group_norm import set_fused_group_norm
+    from ctrlv_tpu.ops.layer_norm import set_fused_layer_norm
+
+    set_fused_geglu_ff(False)
+    set_fused_group_norm(False)
+    set_fused_layer_norm(False)
+
+
 def _qkv(b, s, hd, dtype, sk=None):
     sk = sk or s
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -94,6 +108,9 @@ def test_single_token_cross_attention_collapse_exact():
 
 
 def test_layer_norm_matches_reference():
+    from ctrlv_tpu.ops.layer_norm import set_fused_layer_norm
+
+    set_fused_layer_norm(True)
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 320), jnp.bfloat16)
     g = jax.random.normal(jax.random.PRNGKey(1), (320,)) * 0.2 + 1.0
     b = jax.random.normal(jax.random.PRNGKey(2), (320,)) * 0.1
@@ -105,6 +122,9 @@ def test_layer_norm_matches_reference():
 
 
 def test_group_norm_matches_reference():
+    from ctrlv_tpu.ops.group_norm import set_fused_group_norm
+
+    set_fused_group_norm(True)
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 8, 320))
     g = jax.random.normal(jax.random.PRNGKey(1), (320,)) * 0.2 + 1.0
     b = jax.random.normal(jax.random.PRNGKey(2), (320,)) * 0.1
@@ -114,6 +134,169 @@ def test_group_norm_matches_reference():
         np.testing.assert_allclose(
             np.asarray(y).reshape(4, 48, 320), np.asarray(r), atol=1e-5
         )
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+def test_geglu_ff_matches_xla(dtype, atol):
+    from ctrlv_tpu.ops.geglu_ff import _xla_ff, geglu_ff, geglu_ff_supported, set_fused_geglu_ff
+
+    set_fused_geglu_ff(True)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    m, c, inner, out = 256, 128, 512, 128
+    x = jax.random.normal(ks[0], (m, c), dtype)
+    w1 = jax.random.normal(ks[1], (c, 2 * inner)) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * inner,)) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, out)) * 0.05
+    b2 = jax.random.normal(ks[4], (out,)) * 0.1
+    assert geglu_ff_supported(m, c, inner, out, jnp.dtype(dtype).itemsize)
+    y = geglu_ff(x, w1, b1, w2, b2)
+    r = _xla_ff(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(r, np.float32), atol=atol
+    )
+
+
+def test_geglu_ff_grads_match_xla():
+    from ctrlv_tpu.ops.geglu_ff import _xla_ff, geglu_ff
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    m, c, inner, out = 128, 128, 512, 128
+    x = jax.random.normal(ks[0], (m, c))
+    w1 = jax.random.normal(ks[1], (c, 2 * inner)) * 0.05
+    b1 = jnp.zeros((2 * inner,))
+    w2 = jax.random.normal(ks[3], (inner, out)) * 0.05
+    b2 = jnp.zeros((out,))
+    f = lambda *a: jnp.sum(geglu_ff(*a) ** 2)
+    r = lambda *a: jnp.sum(_xla_ff(*a) ** 2)
+    g1 = jax.grad(f, tuple(range(5)))(x, w1, b1, w2, b2)
+    g2 = jax.grad(r, tuple(range(5)))(x, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_gelu_erf_matches_exact():
+    """f32: the cheap-erf gelu == jax.nn.gelu(approximate=False) to ~1e-7;
+    bf16: within one bf16 ulp of the exact erf gelu (4.7e-4 max)."""
+    from ctrlv_tpu.ops.geglu_ff import gelu_erf
+
+    x = jnp.linspace(-6.0, 6.0, 4001)
+    np.testing.assert_allclose(
+        np.asarray(gelu_erf(x)),
+        np.asarray(jax.nn.gelu(x, approximate=False)),
+        atol=5e-7,
+    )
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(gelu_erf(xb), np.float32),
+        np.asarray(jax.nn.gelu(x, approximate=False)),
+        atol=0.03,  # bf16 resolution at |gelu| up to 6
+    )
+
+
+def test_geglu_ff_routing_rejects_misaligned():
+    from ctrlv_tpu.ops.geglu_ff import geglu_ff_supported, set_fused_geglu_ff
+
+    set_fused_geglu_ff(False)
+    assert not geglu_ff_supported(128000, 320, 1280, 320, 2)  # off by default
+    set_fused_geglu_ff(True)
+    assert not geglu_ff_supported(100, 128, 512, 128, 2)  # m not blockable
+    assert not geglu_ff_supported(256, 96, 512, 128, 2)  # c too narrow
+    # all three SVD channel levels route (C=1280 via inner-dim chunking)
+    assert geglu_ff_supported(128000, 320, 1280, 320, 2)
+    assert geglu_ff_supported(32000, 640, 2560, 640, 2)
+    assert geglu_ff_supported(8000, 1280, 5120, 1280, 2)
+
+
+def test_geglu_ff_chunked_matches_xla():
+    """Inner-dim chunked path (C wide enough that weights don't fit VMEM)."""
+    from ctrlv_tpu.ops.geglu_ff import _plan, _xla_ff, geglu_ff
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    m, c, inner, out = 128, 1280, 5120, 1280
+    assert _plan(m, c, inner, out, 4)[1] < inner  # actually chunked
+    x = jax.random.normal(ks[0], (m, c))
+    w1 = jax.random.normal(ks[1], (c, 2 * inner)) * 0.02
+    b1 = jax.random.normal(ks[2], (2 * inner,)) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, out)) * 0.02
+    b2 = jax.random.normal(ks[4], (out,)) * 0.1
+    y = geglu_ff(x, w1, b1, w2, b2)
+    r = _xla_ff(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(r, np.float32), atol=5e-5
+    )
+
+
+def test_geglu_ff_ln_matches_xla():
+    """Pre-LayerNorm fused into the FF kernel == LN then FF, incl. grads."""
+    from ctrlv_tpu.ops.geglu_ff import _xla_ln_ff, geglu_ff_ln
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    m, c, inner, out = 256, 128, 512, 128
+    x = jax.random.normal(ks[0], (m, c)) * 3.0 + 0.5
+    lng = jax.random.normal(ks[5], (c,)) * 0.2 + 1.0
+    lnb = jax.random.normal(ks[6], (c,)) * 0.1
+    w1 = jax.random.normal(ks[1], (c, 2 * inner)) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * inner,)) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, out)) * 0.05
+    b2 = jax.random.normal(ks[4], (out,)) * 0.1
+    y = geglu_ff_ln(x, lng, lnb, w1, b1, w2, b2, 1e-5)
+    r = _xla_ln_ff(x, lng, lnb, w1, b1, w2, b2, 1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(r), atol=2e-5)
+    f = lambda *a: jnp.sum(geglu_ff_ln(*a, 1e-5) ** 2)
+    g = lambda *a: jnp.sum(_xla_ln_ff(*a, 1e-5) ** 2)
+    g1 = jax.grad(f, tuple(range(7)))(x, lng, lnb, w1, b1, w2, b2)
+    g2 = jax.grad(g, tuple(range(7)))(x, lng, lnb, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_transformer_block_keeps_diffusers_param_tree():
+    """norm3/norm_in params stay at their diffusers paths after LN fusion."""
+    from ctrlv_tpu.models.layers import BasicTransformerBlock, TemporalBasicTransformerBlock
+
+    blk = BasicTransformerBlock(
+        dim=64, num_attention_heads=2, attention_head_dim=32, cross_attention_dim=48
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 48))
+    p = blk.init(jax.random.PRNGKey(2), x, ctx)["params"]
+    assert set(p["norm3"].keys()) == {"scale", "bias"}
+    assert {"norm1", "norm2", "norm3", "attn1", "attn2", "ff"} <= set(p.keys())
+
+    tblk = TemporalBasicTransformerBlock(
+        dim=64, num_attention_heads=2, attention_head_dim=32, cross_attention_dim=48
+    )
+    tp = tblk.init(jax.random.PRNGKey(3), x, ctx)["params"]
+    assert set(tp["norm_in"].keys()) == {"scale", "bias"}
+    assert {"norm_in", "ff_in", "norm1", "norm2", "norm3", "attn1", "attn2", "ff"} <= set(
+        tp.keys()
+    )
+
+
+def test_feedforward_module_matches_geglu_ff_kernel():
+    """The opt-in fused kernel == the shipped nn.Dense FeedForward module
+    on the same params (validates the kernel against the real module)."""
+    from ctrlv_tpu.models.layers import FeedForward
+    from ctrlv_tpu.ops.geglu_ff import geglu_ff
+
+    ff = FeedForward(dim=128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128))
+    params = ff.init(jax.random.PRNGKey(1), x)
+    # diffusers-compatible param tree (checkpoint parity)
+    p = params["params"]
+    assert set(p.keys()) == {"net_0", "net_2"}
+    assert set(p["net_0"]["proj"].keys()) == {"kernel", "bias"}
+    assert set(p["net_2"].keys()) == {"kernel", "bias"}
+    y_mod = ff.apply(params, x)
+    y_kern = geglu_ff(
+        x.reshape(-1, 128),
+        p["net_0"]["proj"]["kernel"],
+        p["net_0"]["proj"]["bias"],
+        p["net_2"]["kernel"],
+        p["net_2"]["bias"],
+    ).reshape(y_mod.shape)
+    np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_mod), atol=2e-5)
 
 
 def test_batched_chunk_decode_matches_sequential():
