@@ -28,3 +28,9 @@ def pytest_configure(config):
         "mesh: compile-heavy multi-device/train tests; quick pass = "
         "pytest -m 'not mesh' (full suite is compile-bound on 1-core hosts)",
     )
+    config.addinivalue_line(
+        "markers",
+        "heavy: the few largest single-program compiles (full sampler /"
+        " I3D / two-model injection); a cold sub-10-min tier on a 1-core"
+        " host = pytest -m 'not mesh and not heavy'",
+    )

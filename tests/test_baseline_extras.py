@@ -57,7 +57,9 @@ def test_coords_token_variant():
 
 
 def test_image_context_encoder():
-    models = build_tiny_models(num_frames=3, image_hw=(32, 32))
+    models = build_tiny_models(
+        num_frames=3, image_hw=(32, 32), components=("vae", "clip")
+    )
     cfg = BaselineConfig.tiny(map_embedding=True)
     enc = ImageEncoder(
         cfg, models["vae"], models["vae_params"], models["clip"], models["clip_params"]

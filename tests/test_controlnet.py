@@ -6,35 +6,30 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ctrlv_tpu.models import (
-    ControlNetSpatioTemporal,
-    UNetSpatioTemporalConditionModel,
-    UNetSTConfig,
-    controlnet_params_from_unet,
-)
+from ctrlv_tpu.models import UNetSTConfig, controlnet_params_from_unet
+from helpers import build_tiny_models
 
-CFG = UNetSTConfig.tiny(num_frames=2)
+CFG = UNetSTConfig.tiny(num_frames=3)
 
 
 @pytest.fixture(scope="module")
 def setup():
+    # shared tiny builder: the unet/ctrl init compiles dedupe with the rest
+    # of the suite via the persistent compile cache (identical programs)
+    models = build_tiny_models(
+        num_frames=3, image_hw=(32, 32), components=("unet", "ctrl")
+    )
     rng = jax.random.PRNGKey(0)
-    B, F, H, W = 1, 2, 16, 16
+    B, F, H, W = 1, 3, 16, 16
     sample = jax.random.normal(rng, (B, F, H, W, CFG.in_channels))
     cond = jax.random.normal(jax.random.PRNGKey(1), (B, F, H, W, CFG.in_channels // 2))
     enc = jax.random.normal(rng, (B, 1, CFG.cross_attention_dim))
     tids = jnp.asarray([[6.0, 127.0, 0.02]])
-    unet = UNetSpatioTemporalConditionModel(config=CFG)
-    ctrl = ControlNetSpatioTemporal(config=CFG)
-    unet_params = jax.jit(lambda k: unet.init(k, sample, jnp.asarray(0.5), enc, tids))(rng)
-    ctrl_params = jax.jit(
-        lambda k: ctrl.init(k, sample, jnp.asarray(0.5), enc, tids, cond)
-    )(rng)
     return (
-        jax.jit(unet.apply),
-        jax.jit(ctrl.apply),
-        unet_params,
-        ctrl_params,
+        jax.jit(models["unet"].apply),
+        jax.jit(models["ctrl"].apply),
+        models["unet_params"],
+        models["ctrl_params"],
         (sample, cond, enc, tids),
     )
 
@@ -72,6 +67,7 @@ def test_from_unet_copies_shared_weights(setup):
     )
 
 
+@pytest.mark.heavy
 def test_unet_with_controlnet_injection(setup):
     """Full two-model forward: zero-init ControlNet must not change the UNet
     output; a scaled ControlNet with perturbed zero-convs must."""

@@ -299,6 +299,7 @@ def test_feedforward_module_matches_geglu_ff_kernel():
     np.testing.assert_allclose(np.asarray(y_kern), np.asarray(y_mod), atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_batched_chunk_decode_matches_sequential():
     """decode_latents batches equal-size chunks into one VAE call; equal to
     the reference's sequential chunk loop up to fp reassociation (the

@@ -103,6 +103,7 @@ def test_layout_net_loss_and_causality():
     assert not np.allclose(np.asarray(pred[:, -1]), np.asarray(pred2[:, -1]))
 
 
+@pytest.mark.heavy
 def test_unet2d_object_conditioning():
     cfg = UNet2DConfig.tiny(
         addition_embed_type="object", encoder_hid_dim_type="text_object_proj"
@@ -136,6 +137,7 @@ def test_fvd_math():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_fvd_i3d_forward():
     from ctrlv_tpu.metrics.fvd import FVD
 

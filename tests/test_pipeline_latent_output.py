@@ -12,6 +12,7 @@ from helpers import build_tiny_models
 F, H, W = 3, 32, 32
 
 
+@pytest.mark.heavy
 def test_latent_output_matches_decoded(models=None):
     models = models or build_tiny_models(num_frames=F, image_hw=(H, W))
     pipe = VideoDiffusionPipeline(

@@ -23,7 +23,9 @@ F, H, W = 3, 32, 32
 
 @pytest.fixture(scope="module")
 def models():
-    return build_tiny_models(num_frames=F, image_hw=(H, W))
+    return build_tiny_models(
+        num_frames=F, image_hw=(H, W), components=("unet", "vae", "clip", "ctrl")
+    )
 
 
 @pytest.fixture(scope="module")

@@ -5,28 +5,31 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ctrlv_tpu.models.unet_st import UNetSpatioTemporalConditionModel, UNetSTConfig
+from ctrlv_tpu.models.unet_st import UNetSTConfig
+from helpers import build_tiny_models
 
 CFG = UNetSTConfig.tiny(num_frames=3)
+
+# 16x16 latents: matches the shared helpers.build_tiny_models init shapes so
+# the module-init compile dedupes across test files via the persistent cache.
+B, F, H, W = 1, 3, 16, 16
 
 
 @pytest.fixture(scope="module")
 def unet_and_params():
-    model = UNetSpatioTemporalConditionModel(config=CFG)
+    models = build_tiny_models(num_frames=F, image_hw=(32, 32), components=("unet",))
     rng = jax.random.PRNGKey(0)
-    B, F, H, W = 1, 3, 32, 32
     sample = jax.random.normal(rng, (B, F, H, W, CFG.in_channels), jnp.float32)
     enc = jax.random.normal(rng, (B, 1, CFG.cross_attention_dim), jnp.float32)
     tids = jnp.asarray([[6.0, 127.0, 0.02]])
-    params = jax.jit(lambda k: model.init(k, sample, jnp.asarray(0.5), enc, tids))(rng)
-    apply = jax.jit(model.apply)
-    return apply, params, (sample, enc, tids)
+    apply = jax.jit(models["unet"].apply)
+    return apply, models["unet_params"], (sample, enc, tids)
 
 
 def test_forward_shape(unet_and_params):
     apply, params, (sample, enc, tids) = unet_and_params
     out = apply(params, sample, jnp.asarray(0.5), enc, tids)
-    assert out.shape == (1, 3, 32, 32, CFG.out_channels)
+    assert out.shape == (B, F, H, W, CFG.out_channels)
     assert np.isfinite(np.asarray(out)).all()
 
 
