@@ -51,6 +51,12 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
     hd = q.shape[-1]
     d = hd // heads
 
+    # log2(e) folded into the logits scale: softmax_e(s*z) == softmax_2
+    # (s*log2e*z), so the exp pass is a bare exp2. Measured NEUTRAL vs
+    # jnp.exp at the hot shape (37.8 vs 37.7 ms pool — the exp lowering
+    # was not the bottleneck); kept for the marginally smaller op count.
+    scale2 = scale * 1.4426950408889634
+
     def logits(h):
         sl = slice(h * d, (h + 1) * d)
         return jax.lax.dot_general(
@@ -58,13 +64,13 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
             k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (bq, Sk)
+        ) * scale2  # (bq, Sk), base-2 domain
 
     l_cur = logits(0)
     for h in range(heads):
         l_next = logits(h + 1) if h + 1 < heads else None  # MXU, independent
         m = jnp.max(l_cur, axis=-1, keepdims=True)
-        p = jnp.exp(l_cur - m)  # VPU — overlaps l_next's matmul
+        p = jnp.exp2(l_cur - m)  # VPU — overlaps l_next's matmul
         r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)  # (bq, 1)
         sl = slice(h * d, (h + 1) * d)
         o = jnp.dot(p.astype(o_ref.dtype), v[:, sl], preferred_element_type=jnp.float32)
