@@ -49,7 +49,9 @@ class FusedLayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return fused_layer_norm(x, scale, bias, eps=self.epsilon).astype(self.out_dtype)
+        # out_dtype threads into the op so the result is rounded exactly
+        # once (f32 stats -> out_dtype), never via an x.dtype round-trip.
+        return fused_layer_norm(x, scale, bias, eps=self.epsilon, out_dtype=self.out_dtype)
 
 
 class FusedGroupNorm(nn.Module):
@@ -71,10 +73,10 @@ class FusedGroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        y = fused_group_norm(
-            x, scale, bias, num_groups=self.num_groups, eps=self.epsilon, act=self.act
+        return fused_group_norm(
+            x, scale, bias, num_groups=self.num_groups, eps=self.epsilon,
+            act=self.act, out_dtype=self.out_dtype,
         )
-        return y.astype(self.out_dtype)
 
 
 def get_timestep_embedding(

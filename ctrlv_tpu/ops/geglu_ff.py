@@ -185,7 +185,17 @@ def _xla_ln_ff(x, lng, lnb, w1, b1, w2, b2, eps):
 def _ff_forward(x, w1, b1, w2, b2, ln=None):
     m, c_in = x.shape
     inner, c_out = w2.shape
-    bm, ch = _plan(m, c_in, inner, c_out, x.dtype.itemsize)
+    plan = _plan(m, c_in, inner, c_out, x.dtype.itemsize)
+    if plan is None:
+        # No VMEM-feasible tiling for this shape: fall back to the XLA path
+        # (numerically the custom_vjp's backward reference) instead of
+        # failing on tuple-unpack. Callers need not pre-check
+        # geglu_ff_supported for correctness — only for routing decisions.
+        if ln is None:
+            return _xla_ff(x, w1, b1, w2, b2)
+        lng, lnb, eps = ln
+        return _xla_ln_ff(x, lng, lnb, w1, b1, w2, b2, eps)
+    bm, ch = plan
     nk = inner // ch
     interpret = jax.default_backend() != "tpu"
     wdt = x.dtype

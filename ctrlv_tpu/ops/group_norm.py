@@ -44,9 +44,9 @@ def set_fused_group_norm(on: bool) -> None:
     _FUSED_GN = on
 
 
-def _reference_group_norm(x, gamma, beta, num_groups, eps, act):
+def _reference_group_norm(x, gamma, beta, num_groups, eps, act, out_dtype=None):
     """XLA reference: flax GroupNorm semantics (fast variance), f32 math."""
-    orig_dtype = x.dtype
+    orig_dtype = out_dtype or x.dtype
     b, l, c = x.shape
     g = num_groups
     xf = x.astype(jnp.float32).reshape(b, l, g, c // g)
@@ -86,7 +86,7 @@ def _group_map(c: int, g: int, dtype=jnp.float32):
     return (ch[:, None] == jnp.arange(g)[None, :]).astype(dtype)  # (C, G)
 
 
-def _fused_forward(x, gamma, beta, num_groups, eps, act):
+def _fused_forward(x, gamma, beta, num_groups, eps, act, out_dtype=None):
     b, l, c = x.shape
     m = _group_map(c, num_groups)
     interpret = jax.default_backend() != "tpu"
@@ -95,7 +95,7 @@ def _fused_forward(x, gamma, beta, num_groups, eps, act):
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l, c), out_dtype or x.dtype),
         grid=(b,),
         interpret=interpret,
         in_specs=[
@@ -120,19 +120,21 @@ def _fused_forward(x, gamma, beta, num_groups, eps, act):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_gn(x, gamma, beta, num_groups, eps, act):
-    return _fused_forward(x, gamma, beta, num_groups, eps, act)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_gn(x, gamma, beta, num_groups, eps, act, out_dtype):
+    return _fused_forward(x, gamma, beta, num_groups, eps, act, out_dtype)
 
 
-def _fused_gn_fwd(x, gamma, beta, num_groups, eps, act):
-    return _fused_forward(x, gamma, beta, num_groups, eps, act), (x, gamma, beta)
+def _fused_gn_fwd(x, gamma, beta, num_groups, eps, act, out_dtype):
+    return _fused_forward(x, gamma, beta, num_groups, eps, act, out_dtype), (x, gamma, beta)
 
 
-def _fused_gn_bwd(num_groups, eps, act, residuals, g):
+def _fused_gn_bwd(num_groups, eps, act, out_dtype, residuals, g):
     x, gamma, beta = residuals
     _, vjp = jax.vjp(
-        lambda x_, ga_, be_: _reference_group_norm(x_, ga_, be_, num_groups, eps, act),
+        lambda x_, ga_, be_: _reference_group_norm(
+            x_, ga_, be_, num_groups, eps, act, out_dtype
+        ),
         x,
         gamma,
         beta,
@@ -150,9 +152,11 @@ def group_norm(
     num_groups: int = 32,
     eps: float = 1e-6,
     act: Optional[str] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """GroupNorm(+activation) over (B, ..., C); normalizes per leading dim.
 
+    f32 statistics; output in `out_dtype` (default x.dtype), rounded once.
     Routes to the fused Pallas kernel when the per-sample slab fits VMEM,
     else to the XLA reference path. `act` in {None, "silu"}.
     """
@@ -162,8 +166,11 @@ def group_norm(
     l = 1
     for d in shape[1:-1]:
         l *= d
+    out_dtype = x.dtype if out_dtype is None else jnp.dtype(out_dtype)
     x2 = x.reshape(b, l, c)
     slab = l * c * x.dtype.itemsize
     if not _FUSED_GN or slab > _MAX_SLAB_BYTES or c % num_groups:
-        return _reference_group_norm(x2, gamma, beta, num_groups, eps, act).reshape(shape)
-    return _fused_gn(x2, gamma, beta, num_groups, eps, act).reshape(shape)
+        return _reference_group_norm(
+            x2, gamma, beta, num_groups, eps, act, out_dtype
+        ).reshape(shape)
+    return _fused_gn(x2, gamma, beta, num_groups, eps, act, out_dtype).reshape(shape)

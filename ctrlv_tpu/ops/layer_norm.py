@@ -62,13 +62,13 @@ def _pick_block(t: int) -> int:
     return 0
 
 
-def _fused_forward(x2, gamma, beta, eps):
+def _fused_forward(x2, gamma, beta, eps, out_dtype=None):
     t, c = x2.shape
     bt = _pick_block(t)
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((t, c), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((t, c), out_dtype or x2.dtype),
         grid=(t // bt,),
         interpret=interpret,
         in_specs=[
@@ -85,19 +85,19 @@ def _fused_forward(x2, gamma, beta, eps):
     )(x2, gamma.astype(jnp.float32).reshape(1, c), beta.astype(jnp.float32).reshape(1, c))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _fused_ln(x2, gamma, beta, eps):
-    return _fused_forward(x2, gamma, beta, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_ln(x2, gamma, beta, eps, out_dtype):
+    return _fused_forward(x2, gamma, beta, eps, out_dtype)
 
 
-def _fused_ln_fwd(x2, gamma, beta, eps):
-    return _fused_forward(x2, gamma, beta, eps), (x2, gamma, beta)
+def _fused_ln_fwd(x2, gamma, beta, eps, out_dtype):
+    return _fused_forward(x2, gamma, beta, eps, out_dtype), (x2, gamma, beta)
 
 
-def _fused_ln_bwd(eps, res, g):
+def _fused_ln_bwd(eps, out_dtype, res, g):
     x2, gamma, beta = res
     _, vjp = jax.vjp(
-        lambda x_, ga_, be_: _reference_layer_norm(x_, ga_, be_, eps).astype(x2.dtype),
+        lambda x_, ga_, be_: _reference_layer_norm(x_, ga_, be_, eps).astype(out_dtype),
         x2,
         gamma,
         beta,
@@ -108,18 +108,20 @@ def _fused_ln_bwd(eps, res, g):
 _fused_ln.defvjp(_fused_ln_fwd, _fused_ln_bwd)
 
 
-def layer_norm(x, gamma, beta, eps: float = 1e-6):
-    """LayerNorm over the last axis, f32 statistics, returned in x.dtype.
+def layer_norm(x, gamma, beta, eps: float = 1e-6, out_dtype=None):
+    """LayerNorm over the last axis, f32 statistics, returned in out_dtype.
 
-    Matches `nn.LayerNorm(dtype=f32)(x).astype(x.dtype)` up to rounding
-    order (the fused kernel rounds once at the end).
+    out_dtype=None (default) returns in x.dtype. Matches
+    `nn.LayerNorm(dtype=f32)(x).astype(out_dtype)` up to rounding order
+    (single rounding at the end — no intermediate x.dtype round-trip).
     """
     shape = x.shape
     c = shape[-1]
     t = 1
     for d in shape[:-1]:
         t *= d
+    out_dtype = x.dtype if out_dtype is None else jnp.dtype(out_dtype)
     x2 = x.reshape(t, c)
     if not _FUSED_LN or _pick_block(t) == 0:
-        return _reference_layer_norm(x2, gamma, beta, eps).astype(x.dtype).reshape(shape)
-    return _fused_ln(x2, gamma, beta, eps).reshape(shape)
+        return _reference_layer_norm(x2, gamma, beta, eps).astype(out_dtype).reshape(shape)
+    return _fused_ln(x2, gamma, beta, eps, out_dtype).reshape(shape)

@@ -28,6 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for K+V residency (bytes) — one (Sk, HD) pair per program.
 _MAX_KV_BYTES = 8 * 1024 * 1024
+# Total live-VMEM budget per program: K+V slabs + the f32 logits/exp tiles
+# kept alive by the head-pipelined softmax (leaves headroom of v5e's ~16 MB
+# for q/o blocks and double-buffering).
+_MAX_LIVE_BYTES = 12 * 1024 * 1024
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
@@ -91,15 +95,16 @@ def mha_supported(sq: int, sk: int, hd: int, heads: int, itemsize: int) -> bool:
     d = hd // heads
     # Route to the kernel only where XLA's einsum path is pathological
     # (the [B,S,H,D]->[B,H,D,S] relayout at long S); XLA wins at S<=640.
-    return (
-        hd % heads == 0
-        and d in (64, 128)
-        and sq >= 1024
-        and sk >= 1024
-        and sk % 128 == 0
-        and _pick_block_q(sq) > 0
-        and 2 * sk * hd * itemsize <= _MAX_KV_BYTES
-    )
+    bq = _pick_block_q(sq)
+    if not (hd % heads == 0 and d in (64, 128) and sq >= 1024 and sk >= 1024
+            and sk % 128 == 0 and bq > 0):
+        return False
+    # VMEM residency: K+V slabs plus ~3 live f32 (block_q, Sk) score/exp
+    # tiles from the head-pipelined softmax (two logits tiles + one exp
+    # tile). Small-hd/long-Sk shapes pass a KV-only gate yet blow VMEM.
+    kv_bytes = 2 * sk * hd * itemsize
+    logits_bytes = 3 * bq * sk * 4
+    return kv_bytes <= _MAX_KV_BYTES and kv_bytes + logits_bytes <= _MAX_LIVE_BYTES
 
 
 def _xla_mha(q3, k3, v3, heads, scale):

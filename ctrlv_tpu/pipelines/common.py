@@ -35,6 +35,9 @@ class SamplingConfig:
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
     decode_chunk_size: Optional[int] = 8
+    # Memory bound for the batched VAE decode (frames per vae.apply call);
+    # None = decode all full chunks in one batched call (fastest).
+    max_decode_frames: Optional[int] = None
     num_cond_bbox_frames: int = 3  # stage-1 latent substitution
     control_condition_scale: float = 1.0  # stage-2 ControlNet scale
 
@@ -111,27 +114,41 @@ def guidance_linspace(cfg: SamplingConfig, batch: int, num_frames: int, minmax=N
     return g[..., None, None, None]
 
 
-def decode_latents(vae, vae_params, latents, scaling_factor, decode_chunk_size=None):
+def decode_latents(
+    vae, vae_params, latents, scaling_factor, decode_chunk_size=None,
+    max_frames_per_call=None,
+):
     """(B,F,h,w,4) -> (B,F,H,W,3) in [-1,1], chunked like the reference.
 
     The temporal decoder's frame conv sees `chunk` frames at a time, so
     decode_chunk_size is *behavioral* (reference always uses 8:
     tools/eval_overall.py:88), not just a memory knob.
+
+    Memory: by default all full-size chunks decode as ONE batched call (the
+    temporal decoder derives its clip count from bf // num_frames, so
+    stacking chunks on the batch axis matches sequential decoding up to fp
+    reassociation) — better MXU utilization than the reference's Python
+    chunk loop. This means peak decode activation memory scales with total
+    frames, NOT decode_chunk_size. `max_frames_per_call` restores a bound:
+    full chunks are decoded in serial groups of at most that many frames
+    (rounded down to whole chunks, min one chunk per call).
     """
     b, f = latents.shape[:2]
     latents = latents / scaling_factor
     chunk = decode_chunk_size or f
-    # All full-size chunks decode as ONE batched call (the temporal decoder
-    # derives its clip count from bf // num_frames, so stacking chunks on
-    # the batch axis matches sequential decoding up to fp reassociation) —
-    # better MXU utilization than the reference's Python chunk loop.
     n_full, rem = divmod(f, chunk)
     outs = []
     if n_full:
-        piece = latents[:, : n_full * chunk]
-        flat = piece.reshape((b * n_full * chunk,) + piece.shape[2:])
-        dec = vae.apply(vae_params, flat, chunk, method=vae.decode)
-        outs.append(dec.reshape((b, n_full * chunk) + dec.shape[1:]))
+        # chunks per batched call (all of them unless a memory cap is set)
+        per_call = n_full
+        if max_frames_per_call:
+            per_call = max(1, min(n_full, max_frames_per_call // chunk))
+        for start in range(0, n_full, per_call):
+            n = min(per_call, n_full - start)
+            piece = latents[:, start * chunk : (start + n) * chunk]
+            flat = piece.reshape((b * n * chunk,) + piece.shape[2:])
+            dec = vae.apply(vae_params, flat, chunk, method=vae.decode)
+            outs.append(dec.reshape((b, n * chunk) + dec.shape[1:]))
     if rem:
         piece = latents[:, n_full * chunk :]
         flat = piece.reshape((b * rem,) + piece.shape[2:])

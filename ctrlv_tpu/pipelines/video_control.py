@@ -149,6 +149,7 @@ class StableVideoControlPipeline:
                 latents,
                 self.vae.config.scaling_factor,
                 cfg.decode_chunk_size,
+                max_frames_per_call=cfg.max_decode_frames,
             )
             return postprocess_frames(frames)
 

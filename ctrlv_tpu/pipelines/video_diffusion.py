@@ -139,6 +139,7 @@ class VideoDiffusionPipeline:
                 latents,
                 self.vae.config.scaling_factor,
                 cfg.decode_chunk_size,
+                max_frames_per_call=cfg.max_decode_frames,
             )
             frames = jnp.clip(frames, -1.0, 1.0)
             return postprocess_frames(frames)

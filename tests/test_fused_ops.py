@@ -320,3 +320,78 @@ def test_batched_chunk_decode_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(jnp.concatenate(outs, axis=1)), atol=2e-5
     )
+
+
+@pytest.mark.heavy
+def test_decode_latents_max_frames_per_call_matches_unbounded():
+    """ADVICE r2: max_frames_per_call bounds per-call decode memory while
+    producing the same frames as the unbounded batched call."""
+    from ctrlv_tpu.models import AutoencoderKLTemporalDecoder, VAEConfig
+    from ctrlv_tpu.pipelines.common import decode_latents
+
+    vae = AutoencoderKLTemporalDecoder(config=VAEConfig.tiny())
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 8, 8, 4))
+    params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    ref = decode_latents(vae, params, lat, 0.18, decode_chunk_size=2)
+    # cap at 2 frames per call -> one 2-frame chunk per vae.apply
+    capped = decode_latents(
+        vae, params, lat, 0.18, decode_chunk_size=2, max_frames_per_call=2
+    )
+    np.testing.assert_allclose(np.asarray(capped), np.asarray(ref), atol=2e-5)
+    # a cap below one chunk still decodes whole chunks (min one per call)
+    tiny_cap = decode_latents(
+        vae, params, lat, 0.18, decode_chunk_size=2, max_frames_per_call=1
+    )
+    np.testing.assert_allclose(np.asarray(tiny_cap), np.asarray(ref), atol=2e-5)
+
+
+def test_geglu_ff_falls_back_when_no_plan():
+    """ADVICE r2: shapes with no VMEM-feasible tiling fall back to the XLA
+    path instead of raising on tuple-unpack."""
+    from ctrlv_tpu.ops.geglu_ff import _plan, _xla_ff, geglu_ff
+
+    # c_in < 128 has no plan by construction
+    assert _plan(64, 64, 256, 64, 4) is None
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (64, 512)) * 0.02
+    b1 = jnp.zeros((512,))
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (256, 64)) * 0.02
+    b2 = jnp.zeros((64,))
+    y = geglu_ff(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(_xla_ff(x, w1, b1, w2, b2)), atol=1e-5
+    )
+
+
+def test_mha_supported_rejects_oversized_logits_tiles():
+    """ADVICE r2: the VMEM gate accounts for the live f32 logits tiles, not
+    just K+V residency (small-hd/long-Sk shapes used to slip through)."""
+    from ctrlv_tpu.ops.mha import mha_supported
+
+    # hot SVD spatial shape still routes to the kernel
+    assert mha_supported(2560, 2560, 320, 5, 2)
+    # hd=64, Sk=8192: KV = 2*8192*64*2 = 2 MB (passes the old KV-only gate)
+    # but logits tiles = 3*128*8192*4 = 12.6 MB -> must be rejected now
+    assert not mha_supported(8192, 8192, 64, 1, 2)
+
+
+def test_fused_norm_out_dtype_single_rounding():
+    """ADVICE r2: layer_norm/group_norm accept out_dtype so a bf16 input
+    with out_dtype=f32 is not double-rounded through bf16."""
+    from ctrlv_tpu.ops.group_norm import _reference_group_norm, group_norm
+    from ctrlv_tpu.ops.layer_norm import _reference_layer_norm, layer_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 64)).astype(jnp.bfloat16)
+    g = jnp.ones((64,))
+    b = jnp.zeros((64,))
+    y = layer_norm(x, g, b, out_dtype=jnp.float32)
+    assert y.dtype == jnp.float32
+    ref = _reference_layer_norm(x.reshape(-1, 64), g, b, 1e-6).reshape(x.shape)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    y2 = group_norm(x, g, b, num_groups=8, out_dtype=jnp.float32)
+    assert y2.dtype == jnp.float32
+    ref2 = _reference_group_norm(
+        x.reshape(4, 8, 64), g, b, 8, 1e-6, None, jnp.float32
+    ).reshape(x.shape)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(ref2))
