@@ -1,5 +1,6 @@
 from .iou import binary_mask_iou, binary_mask_iou_batch
-from .fandj import db_eval_iou, db_eval_boundary, f_measure
+from .fandj import (db_eval_iou, db_eval_boundary, f_measure,
+                    pil_luma_uint8, stage1_frame_f_measure)
 from .image import ssim, psnr
 from .davis import DAVISEvaluation
 
@@ -9,6 +10,8 @@ __all__ = [
     "db_eval_iou",
     "db_eval_boundary",
     "f_measure",
+    "pil_luma_uint8",
+    "stage1_frame_f_measure",
     "ssim",
     "psnr",
     "DAVISEvaluation",

@@ -96,6 +96,38 @@ def f_measure(foreground_mask, gt_mask, void_pixels=None, bound_th: float = 0.00
     return 2.0 * precision * recall / (precision + recall)
 
 
+def pil_luma_uint8(rgb: np.ndarray) -> np.ndarray:
+    """PIL Image.convert('L') luma, bit-exact: (H,W,3) uint8 -> (H,W) uint8.
+
+    ITU-R 601-2 fixed-point exactly as PIL's ImageConvert.c L24/L macros:
+    L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16. The stage-1 f-measure
+    protocol converts frames through PIL grayscale before scoring
+    (/root/reference/tools/eval_video_bbox_prediction.py:85-96), so parity
+    requires this exact rounding, not a float luma.
+    """
+    rgb = np.asarray(rgb)
+    assert rgb.dtype == np.uint8 and rgb.shape[-1] == 3, (rgb.dtype, rgb.shape)
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+def stage1_frame_f_measure(gen_frame: np.ndarray, gt_frame_uint8: np.ndarray) -> float:
+    """Boundary F for one generated frame vs a GT bbox frame, using the
+    reference protocol (/root/reference/tools/eval_video_bbox_prediction.py):
+      1. zero generated pixels darker than 5/255 (float domain),
+      2. float [0,1] -> uint8 by truncation (torchvision to_pil_image),
+      3. PIL grayscale ('L'); GT uint8 frame likewise,
+      4. f_measure on the grayscale images' nonzero support (no extra
+         threshold — _seg2bmap binarizes by astype(bool)).
+    gen_frame: (H,W,3) float in [0,1]; gt_frame_uint8: (H,W,3) uint8.
+    """
+    gen = np.where(gen_frame < 5.0 / 255.0, 0.0, gen_frame)
+    gen_u8 = (gen * 255.0).astype(np.uint8)  # trunc, = tensor.mul(255).byte()
+    return f_measure(pil_luma_uint8(gen_u8), pil_luma_uint8(gt_frame_uint8))
+
+
 def db_eval_boundary(annotation, segmentation, void_pixels=None, bound_th=0.008):
     """Per-frame boundary F over (F,H,W) stacks or a single (H,W) frame."""
     annotation = np.asarray(annotation)

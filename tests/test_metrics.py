@@ -86,3 +86,48 @@ def test_psnr_ssim():
     noisy = a + 0.1 * jnp.asarray(rng.standard_normal((32, 32, 3)).astype(np.float32))
     assert float(ssim(a, noisy)) < 0.95
     assert 15 < float(psnr(a, jnp.clip(noisy, 0, 1))) < 30
+
+
+def test_pil_luma_bit_exact():
+    """pil_luma_uint8 == PIL Image.convert('L') on random uint8 images."""
+    from PIL import Image
+
+    from ctrlv_tpu.metrics import pil_luma_uint8
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    ours = pil_luma_uint8(rgb)
+    theirs = np.asarray(Image.fromarray(rgb).convert("L"))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_stage1_f_measure_matches_reference_transliteration():
+    """stage1_frame_f_measure == the reference protocol transliterated with
+    torch.where + to_pil_image semantics + PIL grayscale + DAVIS f_measure
+    on the nonzero support (/root/reference/tools/
+    eval_video_bbox_prediction.py:85-96). No invented thresholds."""
+    import torch
+    from PIL import Image
+
+    from ctrlv_tpu.metrics import f_measure, stage1_frame_f_measure
+
+    rng = np.random.default_rng(1)
+    # sparse boxes on black background, some dark-noise pixels under 5/255
+    gen = np.zeros((64, 96, 3), np.float32)
+    gen[10:30, 20:50] = rng.random((20, 30, 3)) * 0.9 + 0.1
+    gen += (rng.random(gen.shape) < 0.1) * rng.random(gen.shape) * (4.9 / 255.0)
+    gen = np.clip(gen, 0.0, 1.0)
+    gt = np.zeros((64, 96, 3), np.uint8)
+    gt[12:34, 24:52] = rng.integers(30, 255, (22, 28, 3), dtype=np.uint8)
+
+    # --- reference transliteration ---
+    frames_cp = torch.where(torch.from_numpy(gen) < float(5 / 255), 0.0,
+                            torch.from_numpy(gen))
+    # to_pil_image(CHW float) == mul(255).byte() then PIL RGB
+    u8 = (frames_cp * 255).byte().numpy()
+    frame_l = np.asarray(Image.fromarray(u8).convert("L"))
+    gt_l = np.asarray(Image.fromarray(gt).convert("L"))
+    expected = f_measure(frame_l, gt_l)
+
+    got = stage1_frame_f_measure(gen, gt)
+    assert got == expected

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ctrlv_tpu.data import get_dataloader
-from ctrlv_tpu.metrics import binary_mask_iou, f_measure
+from ctrlv_tpu.metrics import binary_mask_iou, stage1_frame_f_measure
 from ctrlv_tpu.pipelines import VideoDiffusionPipeline
 from ctrlv_tpu.utils.config import parse_args
 from ctrlv_tpu.utils.video_io import export_to_video, frames_to_uint8
@@ -61,10 +61,12 @@ def main(cfg=None, max_samples=None):
         miou, ap, ar = binary_mask_iou(
             (gt * 255).astype(np.uint8), (gen * 255).astype(np.uint8)
         )
-        # per-frame grayscale boundary F
+        # per-frame grayscale boundary F, reference protocol: 5/255 darkness
+        # zeroing + PIL-luma grayscale, F on the nonzero support (no extra
+        # threshold — /root/reference/tools/eval_video_bbox_prediction.py:85-96)
+        gt_u8 = (gt * 255.0).astype(np.uint8)
         fs = [
-            f_measure(gen[f].mean(axis=-1) > 0.2, gt[f].mean(axis=-1) > 0.2)
-            for f in range(gen.shape[0])
+            stage1_frame_f_measure(gen[f], gt_u8[f]) for f in range(gen.shape[0])
         ]
         scores["miou"].append(miou)
         scores["f_measure"].append(float(np.mean(fs)))
