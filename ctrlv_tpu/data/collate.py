@@ -105,4 +105,8 @@ def collate_clip_batch(samples: List[dict]) -> Dict[str, np.ndarray]:
     batch["objects"] = {k: np.stack([o[k] for o in objs]) for k in objs[0]}
     if samples[0].get("bbox_images") is not None:
         batch["bbox_images"] = np.stack([s["bbox_images"] for s in samples])
+    if samples[0].get("cam_to_img") is not None:
+        batch["cam_to_img"] = np.stack(
+            [np.asarray(s["cam_to_img"], np.float32) for s in samples]
+        )
     return batch

@@ -89,3 +89,59 @@ def wandb_frames_with_bbox(video, objects=None, image_size=(1242, 375)):
         else:
             frames.append(tensor2wandbimage(video[f], caption=f"Frame {f}"))
     return frames
+
+
+def render_gt_3d_bbox_plots(objects, cam_to_img, orig_h, orig_w, plot_2d_bbox=False):
+    """Reference-style teaser plots: per-frame 3D-bbox wireframes on a white
+    canvas, frame 0 in plum, later frames in gold.
+
+    Transliterates /root/reference/tools/draw_teaser.py:229-240: canvas =
+    white (orig_H, orig_W); box_color = Color('plum'|'gold').rgb passed
+    channel-reversed (the (255*b, 255*g, 255*r) tuple applied to the RGB
+    canvas); plot_2d_bbox only for bdd100k (2D rects, track colors).
+
+    objects: dict of (F, N, ...) padded arrays for ONE sample (collate
+    `objects` sliced at batch index); cam_to_img: (3,4)/(3,3) or None.
+    Returns a list of (orig_h, orig_w, 3) float frames in [0,1].
+    """
+    import jax.numpy as jnp
+
+    from ..ops.rasterize import (
+        project_boxes_3d_np,
+        rasterize_frame,
+        track_color,
+    )
+
+    # css plum #DDA0DD, gold #FFD700, channel-reversed as the reference does
+    plum = np.asarray([221, 160, 221], np.float32)[::-1] / 255.0
+    gold = np.asarray([255, 215, 0], np.float32)[::-1] / 255.0
+
+    f_total = objects["bbox"].shape[0]
+    n = objects["bbox"].shape[1]
+    white = jnp.ones((orig_h, orig_w, 3), jnp.float32)
+    calib = None
+    if cam_to_img is not None:
+        calib = np.asarray(cam_to_img, np.float32)
+        if calib.shape != (3, 4):
+            calib = np.pad(calib, ((0, 0), (0, 1)))
+    frames = []
+    for f in range(f_total):
+        color = plum if f == 0 else gold
+        if calib is not None:
+            corners = project_boxes_3d_np(
+                objects["locations"][f], objects["dimensions"][f],
+                objects["rotation_y"][f], calib,
+            )
+        else:
+            corners = np.full((n, 8, 2), -1e4, np.float32)
+        valid = np.arange(n) < objects["num_objects"][f]
+        tcol = np.tile(color[None], (n, 1)).astype(np.float32)
+        kcol = np.asarray(track_color(np.asarray(objects["track_id"][f])), np.float32)
+        frame = rasterize_frame(
+            jnp.asarray(corners), jnp.asarray(objects["bbox"][f], jnp.float32),
+            jnp.asarray(valid), jnp.asarray(tcol), jnp.asarray(kcol),
+            background=white, height=orig_h, width=orig_w,
+            plot_2d_bbox=plot_2d_bbox,
+        )
+        frames.append(np.asarray(frame))
+    return frames

@@ -124,3 +124,34 @@ def test_trajectory_frame():
     np.testing.assert_allclose(img[20, 32], [1.0, 0.0, 0.0])  # inner dot
     np.testing.assert_allclose(img[20, 32 + 15], [0.0, 1.0, 0.0])  # outer ring
     np.testing.assert_allclose(img[5, 5], [0.0, 0.0, 0.0])
+
+
+def test_render_gt_3d_bbox_plots_reference_colors():
+    """Teaser GT plots: white canvas, plum wireframes on frame 0, gold on
+    later frames (reference draw_teaser.py:229-240 semantics)."""
+    from ctrlv_tpu.utils.misc import render_gt_3d_bbox_plots
+
+    n = 30
+    objects = {
+        "locations": np.zeros((2, n, 3), np.float32),
+        "dimensions": np.zeros((2, n, 3), np.float32),
+        "rotation_y": np.zeros((2, n), np.float32),
+        "bbox": np.zeros((2, n, 4), np.float32),
+        "track_id": np.zeros((2, n), np.int64),
+        "num_objects": np.asarray([1, 1]),
+    }
+    # one box in front of the camera in both frames
+    objects["locations"][:, 0] = [0.0, 0.0, 10.0]
+    objects["dimensions"][:, 0] = [2.0, 2.0, 4.0]
+    calib = np.asarray([[100, 0, 64, 0], [0, 100, 40, 0], [0, 0, 1, 0]], np.float32)
+    plots = render_gt_3d_bbox_plots(objects, calib, 80, 128, plot_2d_bbox=False)
+    assert len(plots) == 2 and plots[0].shape == (80, 128, 3)
+    plum = np.asarray([221, 160, 221], np.float32)[::-1] / 255.0
+    gold = np.asarray([255, 215, 0], np.float32)[::-1] / 255.0
+    # background stays white
+    np.testing.assert_allclose(plots[0][0, 0], [1, 1, 1], atol=1e-6)
+    # wireframe pixels exist and carry the frame color exactly
+    f0_drawn = (np.abs(plots[0] - plum[None, None]) < 1e-6).all(-1)
+    f1_drawn = (np.abs(plots[1] - gold[None, None]) < 1e-6).all(-1)
+    assert f0_drawn.sum() > 10
+    assert f1_drawn.sum() > 10

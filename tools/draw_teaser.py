@@ -23,6 +23,7 @@ from ctrlv_tpu.pipelines import (
     VideoDiffusionPipeline,
 )
 from ctrlv_tpu.utils.config import parse_args
+from ctrlv_tpu.utils.misc import render_gt_3d_bbox_plots
 from ctrlv_tpu.utils.video_io import export_to_video, frames_to_uint8
 
 NUM_SEEDS = 3
@@ -78,6 +79,23 @@ def main(cfg=None, max_samples=1):
                     os.path.join(out_dir, f"sample{i}_seed{seed}_frame{f}.png")
                 )
             print(f"sample {i} seed {seed}: miou={result['miou']:.3f}")
+
+        # reference-style GT 3D-bbox color plots: per-frame wireframes on a
+        # white canvas, plum first frame / gold rest, at original resolution
+        # (/root/reference/tools/draw_teaser.py:229-240)
+        objects = {k: v[0] for k, v in batch["objects"].items()}
+        calib = batch.get("cam_to_img")
+        plots = render_gt_3d_bbox_plots(
+            objects,
+            None if calib is None else calib[0],
+            dataset.orig_H,
+            dataset.orig_W,
+            plot_2d_bbox=cfg.dataset_name == "bdd100k",
+        )
+        for f, plot in enumerate(plots):
+            Image.fromarray((plot * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"sample{i}_gt_3d_bbox_frame{f}.png")
+            )
 
 
 if __name__ == "__main__":
