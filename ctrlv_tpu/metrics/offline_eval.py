@@ -58,21 +58,26 @@ def evaluate_media_dir(
     downsample: bool = True,
     size: Tuple[int, int] = (410, 256),
     fvd_params: Optional[dict] = None,
+    lpips_params: Optional[dict] = None,
 ) -> Dict[str, float]:
+    """lpips_params: flax LPIPS params (ctrlv_tpu.metrics.lpips — convert
+    real `lpips` alex weights via load_lpips_torch_weights, or point the
+    CTRLV_LPIPS_WEIGHTS env var at a saved torch state dict). LPIPS is
+    skipped only when no weights are available anywhere."""
     pairs = pair_video_files(media_dir)[:samples]
     if not pairs:
         raise FileNotFoundError(f"no generated/gt video pairs in {media_dir}")
     fvd = FVD(params=fvd_params)
     ssims, psnrs, lpips_vals = [], [], []
 
-    lpips_model = None
-    try:  # optional binary dep, like the reference's lpips(alex)
-        import lpips
-        import torch
+    if lpips_params is None:
+        weights_path = os.environ.get("CTRLV_LPIPS_WEIGHTS", "")
+        if weights_path and os.path.exists(weights_path):
+            from .lpips import load_lpips_torch_weights
 
-        lpips_model = lpips.LPIPS(net="alex")
-    except ImportError:
-        pass
+            lpips_params = load_lpips_torch_weights(weights_path)
+    if lpips_params is not None:
+        from .lpips import lpips_distance
 
     for gen_path, gt_path in pairs:
         gen = _prepare(load_video(gen_path), size, num_frames, downsample)
@@ -85,13 +90,13 @@ def evaluate_media_dir(
                            for i in range(n)]))
         )
         psnrs.append(float(psnr(jnp.asarray(gen), jnp.asarray(gt))))
-        if lpips_model is not None:
-            import torch
-
-            a = torch.from_numpy(gen.transpose(0, 3, 1, 2)) * 2 - 1
-            b = torch.from_numpy(gt.transpose(0, 3, 1, 2)) * 2 - 1
-            with torch.no_grad():
-                lpips_vals.append(float(lpips_model(a, b).mean()))
+        if lpips_params is not None:
+            d = lpips_distance(
+                lpips_params,
+                jnp.asarray(gen) * 2.0 - 1.0,
+                jnp.asarray(gt) * 2.0 - 1.0,
+            )
+            lpips_vals.append(float(jnp.mean(d)))
 
     out = dict(
         fvd=fvd.compute(),
