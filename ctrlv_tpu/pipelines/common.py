@@ -163,15 +163,25 @@ def postprocess_frames(frames):
 
 
 def maybe_shard_frames(x, mesh):
-    """Constrain (B, F, ...) video latents to the frame-sharded layout.
+    """Constrain (B, F, ...) video latents to the mesh layout.
 
     Under a (data, frame) mesh this keeps the scan carry resident with the
-    frame axis split across chips: spatial convs/attention are frame-local,
-    and XLA inserts the ICI all-gather only inside the 25-token temporal
+    batch (CFG*B / eval candidates) axis split across "data" and the frame
+    axis split across "frame": spatial convs/attention are frame-local, and
+    XLA inserts the ICI all-gather only inside the 25-token temporal
     attention (SURVEY.md §5 long-context row).
+
+    Neither axis has to divide its mesh axis: the SPMD partitioner pads
+    uneven partitions (the flagship F=25 over n_frame=2/4, and the overall
+    eval's 5-candidate batch over any data axis, both hit this path —
+    validated in tests/test_sharded_pipeline.py).
     """
-    if mesh is None or mesh.shape.get("frame", 1) == 1:
+    if mesh is None:
         return x
     from jax.sharding import PartitionSpec as P
 
-    return jax.lax.with_sharding_constraint(x, P(None, "frame"))
+    data = "data" if mesh.shape.get("data", 1) > 1 and x.shape[0] > 1 else None
+    frame = "frame" if mesh.shape.get("frame", 1) > 1 else None
+    if data is None and frame is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, P(data, frame))
