@@ -1,7 +1,8 @@
 from .loss import edm_denoising_loss, conditioning_dropout, sample_training_sigmas
 from .ema import ema_init, ema_update, EMAState
 from .lora import lora_init, apply_lora, merge_lora
-from .state import TrainState, make_optimizer, trainable_mask
+from .state import (TrainState, make_optimizer, trainable_mask,
+                    split_trainable, merge_trainable, temporal_blocks_predicate)
 from .train_step import make_svd_train_step, make_controlnet_train_step, make_vae_decoder_train_step
 from .checkpoints import CheckpointManager
 from .hf_import import (
@@ -23,6 +24,9 @@ __all__ = [
     "TrainState",
     "make_optimizer",
     "trainable_mask",
+    "split_trainable",
+    "merge_trainable",
+    "temporal_blocks_predicate",
     "make_svd_train_step",
     "make_controlnet_train_step",
     "make_vae_decoder_train_step",

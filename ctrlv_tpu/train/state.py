@@ -42,6 +42,27 @@ def temporal_blocks_predicate(path: tuple) -> bool:
     return any("temporal_transformer_blocks" in p for p in path)
 
 
+def split_trainable(params: Any, predicate: Callable[[tuple], bool]) -> Any:
+    """Extract the trainable SUBTREE (not a masked copy).
+
+    Single-chip full-size memory: a masked optimizer still differentiates
+    the whole tree (full-size grads = params-sized HBM), whereas a
+    partitioned step holds grads + optimizer moments only for the subset.
+    Use with make_svd_train_step(trainable_predicate=...) and pass the full
+    tree via base_params.
+    """
+    flat = flax.traverse_util.flatten_dict(params)
+    sub = {k: v for k, v in flat.items() if predicate(k)}
+    return flax.traverse_util.unflatten_dict(sub)
+
+
+def merge_trainable(full: Any, subset: Any) -> Any:
+    """Overlay the trainable subtree onto the full param tree."""
+    flat = dict(flax.traverse_util.flatten_dict(full))
+    flat.update(flax.traverse_util.flatten_dict(subset))
+    return flax.traverse_util.unflatten_dict(flat)
+
+
 def vae_decoder_predicate(path: tuple) -> bool:
     return len(path) > 0 and path[0] == "decoder"
 

@@ -30,12 +30,38 @@ from .loss import conditioning_dropout, edm_denoising_loss
 from .state import TrainState
 
 
-def _encode_batch(vae, vae_params, clip_model, clip_params, frames, rng, scaling):
+def _vae_encode_frames(vae, vae_params, flat, rng, chunk):
+    """VAE-encode (N,H,W,3) frames, optionally in sequential chunks.
+
+    At full size the encoder's full-resolution activations dominate the
+    training step's HBM peak (25 frames x 320x512 x 128ch bf16 > 1 GB per
+    conv output); `chunk` bounds that via a lax.map whose body is compiled
+    ONCE — same per-frame encode semantics, chunk-sized peak. Falls back to
+    one call when chunk doesn't divide N (static shapes only).
+    """
+    n_frames = flat.shape[0]
+    if not chunk or n_frames <= chunk or n_frames % chunk:
+        return vae.apply(vae_params, flat, rng, True, method=vae.encode)
+    n = n_frames // chunk
+    groups = flat.reshape((n, chunk) + flat.shape[1:])
+    keys = jax.random.split(rng, n)
+
+    def body(args):
+        frames_c, key = args
+        return vae.apply(vae_params, frames_c, key, True, method=vae.encode)
+
+    lat = jax.lax.map(body, (groups, keys))
+    return lat.reshape((n_frames,) + lat.shape[2:])
+
+
+def _encode_batch(
+    vae, vae_params, clip_model, clip_params, frames, rng, scaling, encode_chunk=None
+):
     """frames (B,F,H,W,3) -> (latents*scale, initial-frame latent, clip emb)."""
     b, f = frames.shape[:2]
     rng_lat, rng_init = jax.random.split(rng)
     flat = frames.reshape((b * f,) + frames.shape[2:])
-    latents = vae.apply(vae_params, flat, rng_lat, True, method=vae.encode)
+    latents = _vae_encode_frames(vae, vae_params, flat, rng_lat, encode_chunk)
     latents = latents.reshape((b, f) + latents.shape[1:])
     initial = frames[:, 0]
     init_latent = vae.apply(vae_params, initial, rng_init, True, method=vae.encode)
@@ -74,11 +100,22 @@ def make_svd_train_step(
     noise_aug_strength: float = 0.02,
     scaling_factor: float = 0.18215,
     lora: bool = False,
+    partitioned: bool = False,
+    encode_chunk: Optional[int] = None,
 ) -> Callable:
     """Returns step(state, vae_params, clip_params, clip_frames, bbox_frames, rng).
 
     state.params is the UNet param tree (or the LoRA tree when lora=True,
     with the frozen base params passed via closure-free extra arg).
+
+    partitioned=True: state.params is a trainable SUBTREE (see
+    state.split_trainable) and base_params the full tree — grads and
+    optimizer state then exist only for the subset, which is what lets
+    temporal-only finetuning fit one 16 GB v5e at full size (a masked
+    optimizer still materializes params-sized grads). Updates are
+    numerically identical to the masked form (clip_by_global_norm sees
+    only live grads either way — multi_transform clips inside the
+    'train' branch).
     """
     sigma_table = jnp.asarray(training_sigma_table())
 
@@ -88,7 +125,8 @@ def make_svd_train_step(
         b, f = frames.shape[:2]
 
         latents_scaled, init_latent, clip_emb = _encode_batch(
-            vae, vae_params, clip_model, clip_params, frames, rng_enc, scaling_factor
+            vae, vae_params, clip_model, clip_params, frames, rng_enc,
+            scaling_factor, encode_chunk,
         )
         if predict_bbox:
             # conditioning comes from bbox latents, but the *initial RGB frame*
@@ -133,6 +171,10 @@ def make_svd_train_step(
                 from .lora import apply_lora
 
                 unet_params = {"params": apply_lora(base_params["params"], trainable)}
+            elif partitioned:
+                from .state import merge_trainable
+
+                unet_params = merge_trainable(base_params, trainable)
             else:
                 unet_params = trainable
             model_in = jnp.concatenate([inp, cond_latents], axis=-1)
@@ -161,6 +203,7 @@ def make_controlnet_train_step(
     motion_bucket_id: int = 127,
     noise_aug_strength: float = 0.02,
     scaling_factor: float = 0.18215,
+    encode_chunk: Optional[int] = None,
 ) -> Callable:
     """ControlNet-only training. state.params = ControlNet params.
 
@@ -178,13 +221,13 @@ def make_controlnet_train_step(
 
         latents_scaled, init_latent, clip_emb = _encode_batch(
             vae, vae_params, clip_model, clip_params, target_frames, rng_enc,
-            scaling_factor,
+            scaling_factor, encode_chunk,
         )
         # control conditioning: VAE-encode the conditioning clip, sampling
         # the latent distribution like the reference's training path
         # (train_video_controlnet.py:387 latent_dist.sample())
         flat_cond = cond_frames.reshape((b * f,) + cond_frames.shape[2:])
-        control_cond = vae.apply(vae_params, flat_cond, rng_cond, True, method=vae.encode)
+        control_cond = _vae_encode_frames(vae, vae_params, flat_cond, rng_cond, encode_chunk)
         control_cond = control_cond.reshape((b, f) + control_cond.shape[1:])
         image_latents = jnp.repeat(init_latent[:, None], f, axis=1)
         target_latents = latents_scaled

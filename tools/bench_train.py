@@ -1,0 +1,261 @@
+"""Training-throughput benchmark at full SVD-XT size on one real chip.
+
+VERDICT r2 missing #3: the reference's primary workload is *training*
+(batch 1 x grad-accum 5, 25 frames, 512x320 —
+/root/reference/scripts/train_scripts/demo_train_video_box2video.sh), but
+bench.py measures inference only. This tool measures s/step + MFU for the
+training regimes on the real TPU and emits one JSON line per regime:
+
+  controlnet  — ControlNet trainable, UNet/VAE/CLIP frozen (§3.2)
+  temporal    — SVD UNet, temporal-transformer-blocks-only (§3.1)
+  full        — SVD UNet full finetune, AdamW mu_dtype=bf16 (feasibility)
+  full-af     — SVD UNet full finetune, adafactor (memory-lean fallback)
+
+Numbers land in PERF.md + BENCH_TRAIN.json. Random weights: wall-clock is
+independent of weight values; the compute graph is identical.
+
+Usage: python tools/bench_train.py [--regime all|controlnet|temporal|full|full-af]
+       [--accum 5] [--measure_steps 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+H, W = 320, 512
+V5E_PEAK_BF16 = 197e12
+
+
+def _cast_bf16(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def _count_params(tree):
+    return sum(x.size for x in jax.tree.leaves(tree))
+
+
+def build_models():
+    from ctrlv_tpu.models import (
+        AutoencoderKLTemporalDecoder,
+        CLIPVisionConfig,
+        CLIPVisionModelWithProjection,
+        ControlNetSpatioTemporal,
+        UNetSpatioTemporalConditionModel,
+        UNetSTConfig,
+        VAEConfig,
+    )
+
+    dtype = jnp.bfloat16
+    ucfg = UNetSTConfig()
+    unet = UNetSpatioTemporalConditionModel(
+        config=ucfg, dtype=dtype, gradient_checkpointing=True
+    )
+    ctrl = ControlNetSpatioTemporal(
+        config=ucfg, dtype=dtype, gradient_checkpointing=True
+    )
+    vae = AutoencoderKLTemporalDecoder(config=VAEConfig(), dtype=dtype)
+    clip = CLIPVisionModelWithProjection(config=CLIPVisionConfig(), dtype=dtype)
+
+    F = ucfg.num_frames
+    h, w = H // 8, W // 8
+    sample = jnp.zeros((1, F, h, w, ucfg.in_channels), dtype)
+    cond = jnp.zeros((1, F, h, w, ucfg.in_channels // 2), dtype)
+    enc = jnp.zeros((1, 1, ucfg.cross_attention_dim), dtype)
+    tids = jnp.asarray([[6.0, 127.0, 0.02]], dtype)
+    t = jnp.asarray(1.0, jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    unet_params = jax.jit(lambda k: _cast_bf16(unet.init(k, sample, t, enc, tids)))(rng)
+    ctrl_params = jax.jit(
+        lambda k: _cast_bf16(ctrl.init(k, sample, t, enc, tids, cond))
+    )(rng)
+    vae_params = jax.jit(
+        lambda k: _cast_bf16(vae.init(k, jnp.zeros((1, H, W, 3), dtype)))
+    )(rng)
+    clip_params = jax.jit(
+        lambda k: _cast_bf16(clip.init(k, jnp.zeros((1, 224, 224, 3), dtype)))
+    )(rng)
+    jax.block_until_ready((unet_params, ctrl_params, vae_params, clip_params))
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        print(
+            json.dumps(
+                {
+                    "hbm_after_init_gb": round(ms.get("bytes_in_use", 0) / 2**30, 2),
+                    "hbm_limit_gb": round(ms.get("bytes_limit", 0) / 2**30, 2),
+                }
+            ),
+            flush=True,
+        )
+    except Exception:
+        pass
+    return dict(
+        unet=unet, ctrl=ctrl, vae=vae, clip=clip, F=F,
+        unet_params=unet_params, ctrl_params=ctrl_params,
+        vae_params=vae_params, clip_params=clip_params,
+    )
+
+
+def make_batch(F):
+    rng = jax.random.PRNGKey(7)
+    clips = jax.random.uniform(rng, (1, F, H, W, 3), jnp.float32, -1, 1)
+    bbox = jax.random.uniform(jax.random.PRNGKey(8), (1, F, H, W, 3), jnp.float32, -1, 1)
+    return clips, bbox
+
+
+def bench_regime(m, regime, accum, measure_steps):
+    import optax
+
+    from ctrlv_tpu.train import (
+        make_controlnet_train_step,
+        make_optimizer,
+        make_svd_train_step,
+        split_trainable,
+        temporal_blocks_predicate,
+    )
+    from ctrlv_tpu.train.state import init_train_state
+
+    clips, bbox = make_batch(m["F"])
+
+    # Encoder chunking bounds the VAE full-res activation spike (the 25x
+    # 320x512 encode otherwise holds >1 GB per conv output alongside the
+    # UNet fwd+bwd) — see train_step._vae_encode_frames.
+    ENC_CHUNK = 5
+    opt_kwargs = dict(learning_rate=1e-5, nan_guard_steps=0)
+    tail = ()
+    if regime == "controlnet":
+        # fp32 AdamW moments on the 0.7B ControlNet are ~5.6 GB; bf16 first
+        # moment keeps the regime inside one v5e.
+        tx = make_optimizer(mu_dtype="bfloat16", **opt_kwargs)
+        trainable = m["ctrl_params"]
+    elif regime == "temporal":
+        # partitioned subset: grads + moments only for the temporal blocks
+        tx = make_optimizer(**opt_kwargs)
+        trainable = split_trainable(m["unet_params"], temporal_blocks_predicate)
+        tail = (m["unet_params"],)
+    elif regime == "full":
+        tx = make_optimizer(mu_dtype="bfloat16", **opt_kwargs)
+        trainable = m["unet_params"]
+    elif regime == "full-af":
+        tx = make_optimizer(optimizer="adafactor", **opt_kwargs)
+        trainable = m["unet_params"]
+    else:
+        raise ValueError(regime)
+
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+
+    if regime == "controlnet":
+        step_fn = make_controlnet_train_step(
+            m["unet"], m["ctrl"], m["vae"], m["clip"], tx,
+            conditioning_dropout_prob=0.1, encode_chunk=ENC_CHUNK,
+        )
+        extra = (m["unet_params"], m["vae_params"], m["clip_params"])
+    else:
+        step_fn = make_svd_train_step(
+            m["unet"], m["vae"], m["clip"], tx, conditioning_dropout_prob=0.1,
+            partitioned=(regime == "temporal"), encode_chunk=ENC_CHUNK,
+        )
+        extra = (m["vae_params"], m["clip_params"])
+
+    state = init_train_state(trainable, tx)
+    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    t0 = time.time()
+    state, metrics = jit_step(state, *extra, clips, bbox, jax.random.PRNGKey(1), *tail)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+    loss0 = float(metrics["loss"])
+
+    times = []
+    for i in range(measure_steps):
+        t0 = time.time()
+        state, metrics = jit_step(
+            state, *extra, clips, bbox, jax.random.PRNGKey(2 + i), *tail
+        )
+        jax.block_until_ready(metrics)
+        times.append(time.time() - t0)
+    micro_s = min(times)
+
+    # FLOPs of the compiled micro-step from XLA's own cost analysis.
+    try:
+        ca = (
+            jit_step.lower(state, *extra, clips, bbox, jax.random.PRNGKey(0), *tail)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    mfu = flops / micro_s / V5E_PEAK_BF16 if flops == flops else float("nan")
+
+    from ctrlv_tpu.ops import get_attention_impl
+
+    n_train = _count_params(state.params)
+    return {
+        "regime": regime,
+        "attention_impl": get_attention_impl(),
+        "sec_per_micro_step": round(micro_s, 3),
+        "sec_per_opt_step": round(micro_s * accum, 3),
+        "accum": accum,
+        "mfu": round(mfu, 3) if mfu == mfu else None,
+        "tflop_per_micro_step": round(flops / 1e12, 1) if flops == flops else None,
+        "compile_s": round(compile_s, 1),
+        "trainable_params_m": round(n_train / 1e6, 1),
+        "loss_first_step": round(loss0, 4),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--regime", default="all")
+    ap.add_argument("--accum", type=int, default=5)
+    ap.add_argument("--measure_steps", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    # VERDICT r2 #10: keep kernels honest under training — the MHA custom_vjp
+    # recomputes the forward via XLA in the backward; measure auto vs xla.
+    ap.add_argument("--attention_impl", default="auto", choices=["auto", "xla", "pallas"])
+    args = ap.parse_args()
+
+    if args.attention_impl != "auto":
+        from ctrlv_tpu.ops import set_attention_impl
+
+        set_attention_impl(args.attention_impl)
+
+    regimes = (
+        ["controlnet", "temporal", "full", "full-af"]
+        if args.regime == "all"
+        else [args.regime]
+    )
+    m = build_models()
+    results = []
+    for regime in regimes:
+        try:
+            r = bench_regime(m, regime, args.accum, args.measure_steps)
+        except Exception as e:  # OOM etc: record, keep going
+            r = {"regime": regime, "error": f"{type(e).__name__}: {str(e)[:2000]}"}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
