@@ -20,7 +20,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import BasicTransformerBlock, Dtype
+from .layers import BasicTransformerBlock, Dtype, GroupNorm
 
 
 class BBOXFrameAttention(nn.Module):
@@ -44,9 +44,8 @@ class BBOXFrameAttention(nn.Module):
         inner_dim = self.num_frames * self.out_channels
         residual = image_latents
 
-        x = nn.GroupNorm(
-            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=jnp.float32,
-            name="norm",
+        x = GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, name="norm",
         )(image_latents).astype(self.dtype)
         x = nn.Conv(inner_dim, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, inner_dim)

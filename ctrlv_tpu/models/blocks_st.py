@@ -23,13 +23,15 @@ class DownBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 2
     add_downsample: bool = True
+    remat_sub: bool = False  # remat per ResBlock (training-memory knob)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states, temb, image_only_indicator):
+        RB = nn.remat(SpatioTemporalResBlock) if self.remat_sub else SpatioTemporalResBlock
         output_states = ()
         for i in range(self.num_layers):
-            hidden_states = SpatioTemporalResBlock(
+            hidden_states = RB(
                 in_channels=self.in_channels if i == 0 else self.out_channels,
                 out_channels=self.out_channels,
                 eps=1e-5,
@@ -53,20 +55,27 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     num_attention_heads: int = 1
     cross_attention_dim: int = 1024
     add_downsample: bool = True
+    remat_sub: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states, temb, encoder_hidden_states, image_only_indicator):
+        RB = nn.remat(SpatioTemporalResBlock) if self.remat_sub else SpatioTemporalResBlock
+        TR = (
+            nn.remat(TransformerSpatioTemporalModel)
+            if self.remat_sub
+            else TransformerSpatioTemporalModel
+        )
         output_states = ()
         for i in range(self.num_layers):
-            hidden_states = SpatioTemporalResBlock(
+            hidden_states = RB(
                 in_channels=self.in_channels if i == 0 else self.out_channels,
                 out_channels=self.out_channels,
                 eps=1e-5,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(hidden_states, temb, image_only_indicator)
-            hidden_states = TransformerSpatioTemporalModel(
+            hidden_states = TR(
                 num_attention_heads=self.num_attention_heads,
                 attention_head_dim=self.out_channels // self.num_attention_heads,
                 in_channels=self.out_channels,
@@ -90,11 +99,18 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     transformer_layers_per_block: int = 1
     num_attention_heads: int = 1
     cross_attention_dim: int = 1024
+    remat_sub: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states, temb, encoder_hidden_states, image_only_indicator):
-        hidden_states = SpatioTemporalResBlock(
+        RB = nn.remat(SpatioTemporalResBlock) if self.remat_sub else SpatioTemporalResBlock
+        TR = (
+            nn.remat(TransformerSpatioTemporalModel)
+            if self.remat_sub
+            else TransformerSpatioTemporalModel
+        )
+        hidden_states = RB(
             in_channels=self.in_channels,
             out_channels=self.in_channels,
             eps=1e-5,
@@ -102,7 +118,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
             name="resnets_0",
         )(hidden_states, temb, image_only_indicator)
         for i in range(self.num_layers):
-            hidden_states = TransformerSpatioTemporalModel(
+            hidden_states = TR(
                 num_attention_heads=self.num_attention_heads,
                 attention_head_dim=self.in_channels // self.num_attention_heads,
                 in_channels=self.in_channels,
@@ -111,7 +127,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(hidden_states, encoder_hidden_states, image_only_indicator)
-            hidden_states = SpatioTemporalResBlock(
+            hidden_states = RB(
                 in_channels=self.in_channels,
                 out_channels=self.in_channels,
                 eps=1e-5,
@@ -127,10 +143,12 @@ class UpBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 3
     add_upsample: bool = True
+    remat_sub: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states, res_hidden_states_tuple, temb, image_only_indicator):
+        RB = nn.remat(SpatioTemporalResBlock) if self.remat_sub else SpatioTemporalResBlock
         for i in range(self.num_layers):
             res_skip_channels = (
                 self.in_channels if (i == self.num_layers - 1) else self.out_channels
@@ -139,7 +157,7 @@ class UpBlockSpatioTemporal(nn.Module):
             res_hidden = res_hidden_states_tuple[-1]
             res_hidden_states_tuple = res_hidden_states_tuple[:-1]
             hidden_states = jnp.concatenate([hidden_states, res_hidden], axis=-1)
-            hidden_states = SpatioTemporalResBlock(
+            hidden_states = RB(
                 in_channels=resnet_in_channels + res_skip_channels,
                 out_channels=self.out_channels,
                 eps=1e-5,
@@ -162,6 +180,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     num_attention_heads: int = 1
     cross_attention_dim: int = 1024
     add_upsample: bool = True
+    remat_sub: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -173,6 +192,12 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
         encoder_hidden_states,
         image_only_indicator,
     ):
+        RB = nn.remat(SpatioTemporalResBlock) if self.remat_sub else SpatioTemporalResBlock
+        TR = (
+            nn.remat(TransformerSpatioTemporalModel)
+            if self.remat_sub
+            else TransformerSpatioTemporalModel
+        )
         for i in range(self.num_layers):
             res_skip_channels = (
                 self.in_channels if (i == self.num_layers - 1) else self.out_channels
@@ -181,14 +206,14 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
             res_hidden = res_hidden_states_tuple[-1]
             res_hidden_states_tuple = res_hidden_states_tuple[:-1]
             hidden_states = jnp.concatenate([hidden_states, res_hidden], axis=-1)
-            hidden_states = SpatioTemporalResBlock(
+            hidden_states = RB(
                 in_channels=resnet_in_channels + res_skip_channels,
                 out_channels=self.out_channels,
                 eps=1e-5,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(hidden_states, temb, image_only_indicator)
-            hidden_states = TransformerSpatioTemporalModel(
+            hidden_states = TR(
                 num_attention_heads=self.num_attention_heads,
                 attention_head_dim=self.out_channels // self.num_attention_heads,
                 in_channels=self.out_channels,

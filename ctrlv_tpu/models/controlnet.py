@@ -31,6 +31,10 @@ class ControlNetSpatioTemporal(nn.Module):
     config: UNetSTConfig = UNetSTConfig()
     dtype: Dtype = jnp.float32
     gradient_checkpointing: bool = False
+    # "block": remat whole down/mid/up blocks (fewer stored boundaries,
+    # larger recompute live-set); "sub": remat each ResBlock/transformer
+    # individually (lower bwd peak memory — the single-chip training knob)
+    remat_granularity: str = "block"
 
     @nn.compact
     def __call__(
@@ -77,7 +81,12 @@ class ControlNetSpatioTemporal(nn.Module):
         )(control_cond)
         sample = sample + control
 
-        maybe_remat = nn.remat if self.gradient_checkpointing else (lambda m: m)
+        remat_sub = self.gradient_checkpointing and self.remat_granularity == "sub"
+        maybe_remat = (
+            nn.remat
+            if (self.gradient_checkpointing and not remat_sub)
+            else (lambda m: m)
+        )
 
         down_block_res_samples = (sample,)
         output_channel = cfg.block_out_channels[0]
@@ -87,6 +96,7 @@ class ControlNetSpatioTemporal(nn.Module):
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlockSpatioTemporal":
                 block = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
+                    remat_sub=remat_sub,
                     in_channels=input_channel,
                     out_channels=output_channel,
                     num_layers=cfg.layers_per_block,
@@ -102,6 +112,7 @@ class ControlNetSpatioTemporal(nn.Module):
                 )
             else:
                 block = maybe_remat(DownBlockSpatioTemporal)(
+                    remat_sub=remat_sub,
                     in_channels=input_channel,
                     out_channels=output_channel,
                     num_layers=cfg.layers_per_block,
@@ -113,6 +124,7 @@ class ControlNetSpatioTemporal(nn.Module):
             down_block_res_samples += res_samples
 
         sample = maybe_remat(UNetMidBlockSpatioTemporal)(
+            remat_sub=remat_sub,
             in_channels=cfg.block_out_channels[-1],
             transformer_layers_per_block=cfg.transformer_layers_per_block,
             num_attention_heads=cfg.num_attention_heads[-1],

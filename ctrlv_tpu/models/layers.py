@@ -28,10 +28,68 @@ from ..ops.mha import (
     mha_attention,
     mha_supported,
     small_mha_attention,
+    small_mha_attention_fm,
+    small_mha_fm_supported,
     small_mha_supported,
+    xla_fm_attention,
 )
 
 Dtype = jnp.dtype
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with f32 statistics, lane-preserving stats math.
+
+    Drop-in for `nn.GroupNorm(dtype=f32)` on channels-last inputs with the
+    identical param tree (scale/bias, f32) and identical f32 output. The
+    group statistics never split the channel (lane) axis: flax reshapes
+    x to (..., groups, C/g); here per-CHANNEL spatial sums are reduced
+    first ([8,128]-native column reduction, one multi-output fusion for
+    sum and sum-of-squares), then aggregated channel->group with a tiny
+    one-hot matmul — pure XLA, no custom-call fusion boundary.
+
+    Measured on the flagship denoise step (PERF.md round-3): step time is
+    UNCHANGED vs flax nn.GroupNorm — XLA already folds the lane-splitting
+    reshape into its convert+reduce fusions, and the isolated stats
+    microbench runs at copy-roofline for both formulations. Kept because
+    it (a) pins the stats layout explicitly instead of relying on that
+    fusion behavior, and (b) is the single hook point for any future
+    producer-fused stats routing.
+
+    Replaces torch.nn.GroupNorm everywhere the reference's diffusers stack
+    uses it (ResnetBlock2D/temporal, transformer proj_in norms, VAE
+    conv_norm_out — SURVEY.md §2.8/§2.9 cuDNN GroupNorm row).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32  # return dtype (stats are always f32)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        y = x.astype(jnp.float32)
+        red_axes = tuple(range(1, y.ndim - 1))  # all spatial dims
+        s1 = jnp.sum(y, axis=red_axes)  # (B, C)
+        s2 = jnp.sum(y * y, axis=red_axes)  # (B, C) — same fusion as s1
+        gmap = (jnp.arange(c)[:, None] // (c // g) == jnp.arange(g)[None, :]).astype(
+            jnp.float32
+        )  # (C, G) one-hot
+        count = (y.size // y.shape[0] // c) * (c // g)
+        mean_g = (s1 @ gmap) / count  # (B, G)
+        var_g = jnp.maximum((s2 @ gmap) / count - mean_g * mean_g, 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
+        # broadcast group stats back to channels (exact: one-hot gather)
+        mean_c = mean_g @ gmap.T  # (B, C)
+        inv_c = inv_g @ gmap.T
+        shape = (y.shape[0],) + (1,) * (y.ndim - 2) + (c,)
+        out = (y - mean_c.reshape(shape)) * (inv_c.reshape(shape) * scale) + bias
+        return out.astype(self.dtype)
 
 
 class FusedLayerNorm(nn.Module):
@@ -178,16 +236,22 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, hidden_states: jnp.ndarray, context: Optional[jnp.ndarray] = None
+        self,
+        hidden_states: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        temporal_frames: Optional[int] = None,
     ) -> jnp.ndarray:
+        """`temporal_frames=F` marks frames-major temporal self-attention:
+        hidden_states is (B*F, S, C) and attention runs over the F axis per
+        pixel WITHOUT the (B*S, F, C) relayout (ops/mha.py frames-major
+        kernel; XLA fallback transposes explicitly)."""
         residual = hidden_states
         inner_dim = self.heads * self.dim_head
 
         if self.norm_num_groups is not None:
-            hidden_states = nn.GroupNorm(
+            hidden_states = GroupNorm(
                 num_groups=self.norm_num_groups,
                 epsilon=self.eps,
-                dtype=jnp.float32,
                 name="group_norm",
             )(hidden_states).astype(self.dtype)
 
@@ -223,7 +287,18 @@ class Attention(nn.Module):
         sk = k.shape[1]
         scale = self.dim_head**-0.5
         itemsize = jnp.dtype(self.dtype).itemsize
-        if get_attention_impl() != "xla" and mha_supported(
+        if temporal_frames is not None:
+            # Frames-major temporal self-attention over (B*F, S, C).
+            assert context is None and sk == sq
+            if get_attention_impl() != "xla" and small_mha_fm_supported(
+                b, sq, inner_dim, self.heads, temporal_frames, itemsize
+            ):
+                out = small_mha_attention_fm(
+                    q, k, v, self.heads, scale, temporal_frames
+                )
+            else:
+                out = xla_fm_attention(q, k, v, self.heads, scale, temporal_frames)
+        elif get_attention_impl() != "xla" and mha_supported(
             sq, sk, inner_dim, self.heads, itemsize
         ):
             # layout-native kernel: consumes the Dense outputs directly,
@@ -327,6 +402,12 @@ class TemporalBasicTransformerBlock(nn.Module):
     Input (B*S, F, C) — pixels batched, frames as sequence. Mirrors the
     reference semantics: ff_in residual, self-attn over frames, cross-attn
     to the first-frame CLIP context, FF out (SURVEY.md §2.8).
+
+    With `frames_major=F` the input is instead (B*F, S, C) — the UNet's
+    native layout. LN/FF/cross-attn are layout-agnostic (last-axis ops);
+    only the frame self-attention needs the frame axis, and it runs via
+    the frames-major kernel (ops/mha.py) — the (B*S, F, C) HBM relayout
+    pair never exists. encoder_hidden_states must then be batched (B*F,…).
     """
 
     dim: int
@@ -337,7 +418,10 @@ class TemporalBasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, hidden_states: jnp.ndarray, encoder_hidden_states: Optional[jnp.ndarray] = None
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        frames_major: Optional[int] = None,
     ) -> jnp.ndarray:
         def ln(name):
             # eps 1e-5: torch nn.LayerNorm default, used by the diffusers
@@ -357,7 +441,10 @@ class TemporalBasicTransformerBlock(nn.Module):
         hidden_states = FeedForward(self.dim, dtype=self.dtype, name="ff_in")(h) + residual
 
         h = ln("norm1")(hidden_states).astype(self.dtype)
-        hidden_states = Attention(name="attn1", **attn_kwargs)(h) + hidden_states
+        hidden_states = (
+            Attention(name="attn1", **attn_kwargs)(h, temporal_frames=frames_major)
+            + hidden_states
+        )
 
         if self.cross_attention_dim is not None:
             h = ln("norm2")(hidden_states).astype(self.dtype)

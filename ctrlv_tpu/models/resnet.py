@@ -12,7 +12,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import AlphaBlender, Dtype
+from .layers import AlphaBlender, Dtype, GroupNorm
 
 
 class ResnetBlock2D(nn.Module):
@@ -30,8 +30,8 @@ class ResnetBlock2D(nn.Module):
         self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         residual = x
-        h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1"
+        h = GroupNorm(
+            num_groups=self.groups, epsilon=self.eps, name="norm1"
         )(x).astype(self.dtype)
         h = nn.silu(h)
         h = nn.Conv(
@@ -44,8 +44,8 @@ class ResnetBlock2D(nn.Module):
             )
             h = h + temb_proj[:, None, None, :]
 
-        h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2"
+        h = GroupNorm(
+            num_groups=self.groups, epsilon=self.eps, name="norm2"
         )(h).astype(self.dtype)
         h = nn.silu(h)
         h = nn.Conv(
@@ -74,7 +74,7 @@ class TemporalResnetBlock(nn.Module):
     ) -> jnp.ndarray:
         # x: (B, F, H, W, C); temb: (B, F, temb_channels)
         residual = x
-        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=jnp.float32, name="norm1")(
+        h = GroupNorm(num_groups=32, epsilon=self.eps, name="norm1")(
             x
         ).astype(self.dtype)
         h = nn.silu(h)
@@ -92,7 +92,7 @@ class TemporalResnetBlock(nn.Module):
             )
             h = h + temb_proj[:, :, None, None, :]
 
-        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=jnp.float32, name="norm2")(
+        h = GroupNorm(num_groups=32, epsilon=self.eps, name="norm2")(
             h
         ).astype(self.dtype)
         h = nn.silu(h)

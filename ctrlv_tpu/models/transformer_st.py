@@ -17,6 +17,7 @@ from .layers import (
     AlphaBlender,
     BasicTransformerBlock,
     Dtype,
+    GroupNorm,
     TemporalBasicTransformerBlock,
     TimestepEmbedding,
     get_timestep_embedding,
@@ -44,18 +45,24 @@ class TransformerSpatioTemporalModel(nn.Module):
         seq = height * width
         inner_dim = self.num_attention_heads * self.attention_head_dim
 
-        # Temporal cross-attn context: first frame's CLIP token per pixel.
+        # Temporal cross-attn context: first frame's CLIP token, batched to
+        # match the frames-major temporal block input (B*F, S, C). The
+        # temporal transformer runs ENTIRELY in the UNet's native layout —
+        # LN/FF/cross-attn are last-axis ops, and the frame self-attention
+        # uses the frames-major kernel (ops/mha.py) — so the reference's
+        # (B*S, F, C) flatten/permute dance (SURVEY.md §7 hard-part 1,
+        # unet_spatio_temporal_condition.py:87-99) never touches HBM.
         ctx_tokens = encoder_hidden_states.shape[-2]
         time_context = encoder_hidden_states.reshape(
             batch_size, num_frames, ctx_tokens, -1
-        )[:, 0]  # (B, T, cross)
+        )[:, :1]  # (B, 1, T, cross) — first frame's token
         time_context = jnp.broadcast_to(
-            time_context[:, None],
-            (batch_size, seq, ctx_tokens, time_context.shape[-1]),
-        ).reshape(batch_size * seq, ctx_tokens, -1)
+            time_context,
+            (batch_size, num_frames, ctx_tokens, time_context.shape[-1]),
+        ).reshape(bf, ctx_tokens, -1)
 
         residual = hidden_states
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="norm")(
+        h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(
             hidden_states
         ).astype(self.dtype)
         h = h.reshape(bf, seq, channels)
@@ -83,12 +90,7 @@ class TransformerSpatioTemporalModel(nn.Module):
             )(h, encoder_hidden_states)
 
             h_mix = h + emb
-            # (B*F, S, C) -> (B*S, F, C): frames become the sequence axis.
-            h_mix = (
-                h_mix.reshape(batch_size, num_frames, seq, inner_dim)
-                .transpose(0, 2, 1, 3)
-                .reshape(batch_size * seq, num_frames, inner_dim)
-            )
+            # Frames-major: stays (B*F, S, C) end to end.
             h_mix = TemporalBasicTransformerBlock(
                 dim=inner_dim,
                 num_attention_heads=self.num_attention_heads,
@@ -96,12 +98,7 @@ class TransformerSpatioTemporalModel(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
-            )(h_mix, time_context)
-            h_mix = (
-                h_mix.reshape(batch_size, seq, num_frames, inner_dim)
-                .transpose(0, 2, 1, 3)
-                .reshape(bf, seq, inner_dim)
-            )
+            )(h_mix, time_context, frames_major=num_frames)
 
             h = AlphaBlender(
                 alpha=0.5, merge_strategy="learned_with_images", name="time_mixer"

@@ -27,6 +27,7 @@ from .layers import (
     BasicTransformerBlock,
     Downsample2D,
     Dtype,
+    GroupNorm,
     TimestepEmbedding,
     Upsample2D,
     get_timestep_embedding,
@@ -70,7 +71,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        z = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="norm")(
+        z = GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(
             x
         ).astype(self.dtype)
         z = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(z)
@@ -230,7 +231,7 @@ class UNet2DConditionModel(nn.Module):
             if i != num_levels - 1:
                 x = Upsample2D(out_ch, dtype=self.dtype, name=f"up_blocks_{i}_upsample")(x)
 
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out")(
+        x = GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out")(
             x
         ).astype(self.dtype)
         x = nn.silu(x)

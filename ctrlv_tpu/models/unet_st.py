@@ -28,7 +28,7 @@ from .blocks_st import (
     UNetMidBlockSpatioTemporal,
     UpBlockSpatioTemporal,
 )
-from .layers import Dtype, TimestepEmbedding, get_timestep_embedding
+from .layers import Dtype, GroupNorm, TimestepEmbedding, get_timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +77,10 @@ class UNetSpatioTemporalConditionModel(nn.Module):
     config: UNetSTConfig = UNetSTConfig()
     dtype: Dtype = jnp.float32
     gradient_checkpointing: bool = False
+    # "block": remat whole down/mid/up blocks (fewer stored boundaries,
+    # larger recompute live-set); "sub": remat each ResBlock/transformer
+    # individually (lower bwd peak memory — the single-chip training knob)
+    remat_granularity: str = "block"
 
     @nn.compact
     def __call__(
@@ -126,7 +130,12 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             name="conv_in",
         )(sample)
 
-        maybe_remat = nn.remat if self.gradient_checkpointing else (lambda m: m)
+        remat_sub = self.gradient_checkpointing and self.remat_granularity == "sub"
+        maybe_remat = (
+            nn.remat
+            if (self.gradient_checkpointing and not remat_sub)
+            else (lambda m: m)
+        )
 
         # 3. down path
         down_block_res_samples = (sample,)
@@ -137,6 +146,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlockSpatioTemporal":
                 block = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
+                    remat_sub=remat_sub,
                     in_channels=input_channel,
                     out_channels=output_channel,
                     num_layers=cfg.layers_per_block,
@@ -152,6 +162,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 )
             elif block_type == "DownBlockSpatioTemporal":
                 block = maybe_remat(DownBlockSpatioTemporal)(
+                    remat_sub=remat_sub,
                     in_channels=input_channel,
                     out_channels=output_channel,
                     num_layers=cfg.layers_per_block,
@@ -174,6 +185,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
 
         # 4. mid
         sample = maybe_remat(UNetMidBlockSpatioTemporal)(
+            remat_sub=remat_sub,
             in_channels=cfg.block_out_channels[-1],
             transformer_layers_per_block=cfg.transformer_layers_per_block,
             num_attention_heads=cfg.num_attention_heads[-1],
@@ -200,6 +212,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
 
             if block_type == "CrossAttnUpBlockSpatioTemporal":
                 block = maybe_remat(CrossAttnUpBlockSpatioTemporal)(
+                    remat_sub=remat_sub,
                     in_channels=input_channel,
                     prev_output_channel=prev_output_channel,
                     out_channels=output_channel,
@@ -216,6 +229,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 )
             elif block_type == "UpBlockSpatioTemporal":
                 block = maybe_remat(UpBlockSpatioTemporal)(
+                    remat_sub=remat_sub,
                     in_channels=input_channel,
                     prev_output_channel=prev_output_channel,
                     out_channels=output_channel,
@@ -229,8 +243,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 raise ValueError(block_type)
 
         # 6. post-process
-        sample = nn.GroupNorm(
-            num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out"
+        sample = GroupNorm(
+            num_groups=32, epsilon=1e-5, name="conv_norm_out"
         )(sample).astype(self.dtype)
         sample = nn.silu(sample)
         sample = nn.Conv(

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Attention, DownsampleVAE2D, Dtype, Upsample2D
+from .layers import Attention, DownsampleVAE2D, Dtype, GroupNorm, Upsample2D
 from .resnet import ResnetBlock2D, SpatioTemporalResBlock
 
 
@@ -132,7 +132,7 @@ class Encoder(nn.Module):
                 name=f"down_blocks_{i}",
             )(x)
         x = UNetMidBlock2D(out_ch, dtype=self.dtype, name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(
+        x = GroupNorm(num_groups=32, epsilon=1e-6, name="conv_norm_out")(
             x
         ).astype(self.dtype)
         x = nn.silu(x)
@@ -247,7 +247,7 @@ class TemporalDecoder(nn.Module):
             )(x, image_only_indicator)
             ch = out_ch
 
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(
+        x = GroupNorm(num_groups=32, epsilon=1e-6, name="conv_norm_out")(
             x
         ).astype(self.dtype)
         x = nn.silu(x)

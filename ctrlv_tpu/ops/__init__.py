@@ -7,6 +7,8 @@ from .mha import (
     mha_attention,
     mha_supported,
     small_mha_attention,
+    small_mha_attention_fm,
+    small_mha_fm_supported,
     small_mha_supported,
 )
 
@@ -27,5 +29,7 @@ __all__ = [
     "mha_attention",
     "mha_supported",
     "small_mha_attention",
+    "small_mha_attention_fm",
+    "small_mha_fm_supported",
     "small_mha_supported",
 ]

@@ -261,3 +261,121 @@ def _small_bwd(heads, scale, res, g):
 
 
 small_mha_attention.defvjp(_small_fwd, _small_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Frames-major temporal attention: same math as small_mha_attention, but the
+# operands stay in the UNet's native (B*F, S, H*D) layout — frames major,
+# pixels as the middle axis. XLA needs an HBM transpose pair per temporal
+# transformer to get the (B*S, F, H*D) layout (7.7 ms/step of pure `copy`
+# at the top level alone, PERF.md round-3); here the kernel's BlockSpec
+# reads the (F, nb, HD) slab for one batch element directly — the "frame
+# gather" is strided DMA, and the tiny transpose to (nb, F, HD) happens in
+# VMEM where it is bandwidth-free relative to HBM.
+# ---------------------------------------------------------------------------
+
+
+def _pick_block_n_fm(s: int, f: int, hd: int, itemsize: int) -> int:
+    # Tile (F, nb, HD) ≤ ~1 MB per operand: the kernel keeps q/k/v/out slabs
+    # plus their VMEM transposes and one (nb, F, F) f32 score tile alive.
+    for cand in (128, 64, 32, 16, 8):
+        if s % cand == 0 and f * cand * hd * itemsize <= 1024 * 1024:
+            return cand
+    return 0
+
+
+def small_mha_fm_supported(
+    bf: int, s: int, hd: int, heads: int, f: int, itemsize: int
+) -> bool:
+    return (
+        f >= 2
+        and f <= 64
+        and bf % f == 0
+        and hd % heads == 0
+        and (hd // heads) in (64, 128)
+        and (bf // f) * s >= 256
+        and _pick_block_n_fm(s, f, hd, itemsize) > 0
+    )
+
+
+def _small_fm_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+    # refs: (F, nb, HD) — all frames of one batch element's pixel block.
+    q = jnp.swapaxes(q_ref[:], 0, 1)  # (nb, F, HD) — VMEM-local transpose
+    k = jnp.swapaxes(k_ref[:], 0, 1)
+    v = jnp.swapaxes(v_ref[:], 0, 1)
+    hd = q.shape[-1]
+    d = hd // heads
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, :, sl],
+            k[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (nb, F, F)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            w,
+            v[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)  # (nb, F, d)
+        o_ref[:, :, sl] = jnp.swapaxes(o, 0, 1)  # back to (F, nb, d)
+
+
+def _xla_fm(q3, k3, v3, heads, scale, f):
+    """Reference path: explicit transposes + batched attention."""
+    bf, s, hd = q3.shape
+    b = bf // f
+    to_seq = lambda x: (
+        x.reshape(b, f, s, hd).transpose(0, 2, 1, 3).reshape(b * s, f, hd)
+    )
+    out = _xla_mha(to_seq(q3), to_seq(k3), to_seq(v3), heads, scale)
+    return out.reshape(b, s, f, hd).transpose(0, 2, 1, 3).reshape(bf, s, hd)
+
+
+xla_fm_attention = _xla_fm  # public fallback path (used by models.layers)
+
+
+def _small_fm_forward(q3, k3, v3, heads, scale, f):
+    bf, s, hd = q3.shape
+    b = bf // f
+    nb = _pick_block_n_fm(s, f, hd, q3.dtype.itemsize)
+    interpret = jax.default_backend() != "tpu"
+    spec = pl.BlockSpec((f, nb, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_small_fm_kernel, heads=heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bf, s, hd), q3.dtype),
+        grid=(b, s // nb),
+        interpret=interpret,
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bf * s * f * hd,
+            bytes_accessed=2 * (q3.size + k3.size + v3.size) * q3.dtype.itemsize,
+            transcendentals=bf * heads * s * f,
+        ),
+    )(q3, k3, v3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def small_mha_attention_fm(q3, k3, v3, heads: int, scale: float, num_frames: int):
+    """Temporal attention over (B*F, S, H*D) without leaving frames-major."""
+    return _small_fm_forward(q3, k3, v3, heads, scale, num_frames)
+
+
+def _small_fm_fwd(q3, k3, v3, heads, scale, f):
+    return _small_fm_forward(q3, k3, v3, heads, scale, f), (q3, k3, v3)
+
+
+def _small_fm_bwd(heads, scale, f, res, g):
+    q3, k3, v3 = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_fm(q_, k_, v_, heads, scale, f), q3, k3, v3
+    )
+    return vjp(g)
+
+
+small_mha_attention_fm.defvjp(_small_fm_fwd, _small_fm_bwd)

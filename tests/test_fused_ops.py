@@ -395,3 +395,124 @@ def test_fused_norm_out_dtype_single_rounding():
         x.reshape(4, 8, 64), g, b, 8, 1e-6, None, jnp.float32
     ).reshape(x.shape)
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(ref2))
+
+
+class TestLanePreservingGroupNorm:
+    """models/layers.py GroupNorm: per-channel-then-group stats must equal
+    flax nn.GroupNorm (which reshapes C into (G, C/G)) bit-closely in f32,
+    across ranks (4D spatial, 5D temporal) and both torch eps values."""
+
+    @pytest.mark.parametrize(
+        "shape,groups,eps",
+        [
+            ((3, 8, 10, 64), 32, 1e-6),
+            ((2, 5, 6, 8, 64), 32, 1e-5),
+            ((4, 7, 96), 32, 1e-6),  # non-128-aligned channels
+            ((2, 16, 8), 4, 1e-6),
+        ],
+    )
+    def test_matches_flax(self, shape, groups, eps):
+        import flax.linen as fnn
+
+        from ctrlv_tpu.models.layers import GroupNorm
+
+        x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32) * 3 + 1.5
+        ref_mod = fnn.GroupNorm(num_groups=groups, epsilon=eps, dtype=jnp.float32)
+        new_mod = GroupNorm(num_groups=groups, epsilon=eps)
+        rp = ref_mod.init(jax.random.PRNGKey(1), x)
+        # param trees must be identical (checkpoint-compat: scale/bias names)
+        np_ = new_mod.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.structure(rp) == jax.tree.structure(np_)
+        # non-trivial affine params
+        rp = jax.tree.map(
+            lambda p: jax.random.normal(jax.random.PRNGKey(2), p.shape), rp
+        )
+        ref = ref_mod.apply(rp, x)
+        out = new_mod.apply(rp, x)
+        assert out.dtype == ref.dtype
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_bf16_input_f32_out(self):
+        import flax.linen as fnn
+
+        from ctrlv_tpu.models.layers import GroupNorm
+
+        x = (jax.random.normal(jax.random.PRNGKey(3), (2, 6, 6, 64)) * 2).astype(
+            jnp.bfloat16
+        )
+        rp = fnn.GroupNorm(num_groups=8, epsilon=1e-6, dtype=jnp.float32).init(
+            jax.random.PRNGKey(1), x
+        )
+        ref = fnn.GroupNorm(num_groups=8, epsilon=1e-6, dtype=jnp.float32).apply(rp, x)
+        out = GroupNorm(num_groups=8, epsilon=1e-6).apply(rp, x)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+class TestFramesMajorTemporalAttention:
+    """ops/mha.py frames-major kernel: attention over the F axis of
+    (B*F, S, H*D) without the (B*S, F, H*D) relayout (PERF.md round-3:
+    the relayout pair cost 7.7 ms/step of HBM `copy` at the top level)."""
+
+    @pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-5), (jnp.bfloat16, 6e-3)])
+    def test_matches_explicit_transpose_path(self, dtype, atol):
+        from ctrlv_tpu.ops.mha import (
+            small_mha_attention_fm,
+            small_mha_fm_supported,
+            xla_fm_attention,
+        )
+
+        b, f, s, hd, heads = 2, 25, 256, 320, 5
+        q, k, v = _qkv(b * f, s, hd, dtype)
+        assert small_mha_fm_supported(b * f, s, hd, heads, f, jnp.dtype(dtype).itemsize)
+        o = small_mha_attention_fm(q, k, v, heads, 64**-0.5, f)
+        r = xla_fm_attention(q, k, v, heads, 64**-0.5, f)
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32), atol=atol
+        )
+
+    def test_grads_match_explicit_transpose_path(self):
+        from ctrlv_tpu.ops.mha import small_mha_attention_fm, xla_fm_attention
+
+        b, f, s, hd, heads = 1, 5, 64, 128, 2
+        q, k, v = _qkv(b * f, s, hd, jnp.float32)
+        fk = lambda q_, k_, v_: jnp.sum(
+            small_mha_attention_fm(q_, k_, v_, heads, 64**-0.5, f) ** 2
+        )
+        fr = lambda q_, k_, v_: jnp.sum(
+            xla_fm_attention(q_, k_, v_, heads, 64**-0.5, f) ** 2
+        )
+        g1 = jax.grad(fk, (0, 1, 2))(q, k, v)
+        g2 = jax.grad(fr, (0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+    def test_temporal_block_frames_major_matches_seq_layout(self):
+        """TemporalBasicTransformerBlock(frames_major=F) on (B*F, S, C) must
+        equal the legacy (B*S, F, C) call transposed — same params."""
+        from ctrlv_tpu.models.layers import TemporalBasicTransformerBlock
+
+        b, f, s, c = 2, 5, 8, 64
+        blk = TemporalBasicTransformerBlock(
+            dim=c, num_attention_heads=2, attention_head_dim=32,
+            cross_attention_dim=48,
+        )
+        x_fm = jax.random.normal(jax.random.PRNGKey(3), (b * f, s, c))
+        ctx_fm = jax.random.normal(jax.random.PRNGKey(4), (b, 1, 1, 48))
+        ctx_fm_b = jnp.broadcast_to(ctx_fm, (b, f, 1, 48)).reshape(b * f, 1, 48)
+        params = blk.init(jax.random.PRNGKey(0), x_fm, ctx_fm_b, frames_major=f)
+
+        out_fm = blk.apply(params, x_fm, ctx_fm_b, frames_major=f)
+
+        # legacy layout: (B*S, F, C) with per-pixel context
+        x_seq = (
+            x_fm.reshape(b, f, s, c).transpose(0, 2, 1, 3).reshape(b * s, f, c)
+        )
+        ctx_seq = jnp.broadcast_to(ctx_fm, (b, s, 1, 48)).reshape(b * s, 1, 48)
+        out_seq = blk.apply(params, x_seq, ctx_seq)
+        out_seq_fm = (
+            out_seq.reshape(b, s, f, c).transpose(0, 2, 1, 3).reshape(b * f, s, c)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fm), np.asarray(out_seq_fm), atol=2e-5
+        )

@@ -6,10 +6,11 @@ VERDICT r2 missing #3: the reference's primary workload is *training*
 bench.py measures inference only. This tool measures s/step + MFU for the
 training regimes on the real TPU and emits one JSON line per regime:
 
-  controlnet  — ControlNet trainable, UNet/VAE/CLIP frozen (§3.2)
-  temporal    — SVD UNet, temporal-transformer-blocks-only (§3.1)
-  full        — SVD UNet full finetune, AdamW mu_dtype=bf16 (feasibility)
-  full-af     — SVD UNet full finetune, adafactor (memory-lean fallback)
+  controlnet    — ControlNet trainable, UNet/VAE/CLIP frozen (§3.2), AdamW
+  controlnet-af — same with adafactor (factored nu: the 16 GB-chip point)
+  temporal      — SVD UNet, temporal-transformer-blocks-only subset (§3.1)
+  full          — SVD UNet full finetune, AdamW mu_dtype=bf16 (feasibility)
+  full-af       — SVD UNet full finetune, adafactor (memory-lean fallback)
 
 Numbers land in PERF.md + BENCH_TRAIN.json. Random weights: wall-clock is
 independent of weight values; the compute graph is identical.
@@ -47,7 +48,7 @@ def _count_params(tree):
     return sum(x.size for x in jax.tree.leaves(tree))
 
 
-def build_models():
+def build_models(remat_granularity="block"):
     from ctrlv_tpu.models import (
         AutoencoderKLTemporalDecoder,
         CLIPVisionConfig,
@@ -61,10 +62,12 @@ def build_models():
     dtype = jnp.bfloat16
     ucfg = UNetSTConfig()
     unet = UNetSpatioTemporalConditionModel(
-        config=ucfg, dtype=dtype, gradient_checkpointing=True
+        config=ucfg, dtype=dtype, gradient_checkpointing=True,
+        remat_granularity=remat_granularity,
     )
     ctrl = ControlNetSpatioTemporal(
-        config=ucfg, dtype=dtype, gradient_checkpointing=True
+        config=ucfg, dtype=dtype, gradient_checkpointing=True,
+        remat_granularity=remat_granularity,
     )
     vae = AutoencoderKLTemporalDecoder(config=VAEConfig(), dtype=dtype)
     clip = CLIPVisionModelWithProjection(config=CLIPVisionConfig(), dtype=dtype)
@@ -109,14 +112,17 @@ def build_models():
     )
 
 
-def make_batch(F):
-    rng = jax.random.PRNGKey(7)
-    clips = jax.random.uniform(rng, (1, F, H, W, 3), jnp.float32, -1, 1)
-    bbox = jax.random.uniform(jax.random.PRNGKey(8), (1, F, H, W, 3), jnp.float32, -1, 1)
+def make_batch(F, seed=7):
+    clips = jax.random.uniform(
+        jax.random.PRNGKey(seed), (1, F, H, W, 3), jnp.float32, -1, 1
+    )
+    bbox = jax.random.uniform(
+        jax.random.PRNGKey(seed + 1), (1, F, H, W, 3), jnp.float32, -1, 1
+    )
     return clips, bbox
 
 
-def bench_regime(m, regime, accum, measure_steps):
+def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=5):
     import optax
 
     from ctrlv_tpu.train import (
@@ -133,17 +139,22 @@ def bench_regime(m, regime, accum, measure_steps):
     # Encoder chunking bounds the VAE full-res activation spike (the 25x
     # 320x512 encode otherwise holds >1 GB per conv output alongside the
     # UNet fwd+bwd) — see train_step._vae_encode_frames.
-    ENC_CHUNK = 5
+    ENC_CHUNK = enc_chunk
     opt_kwargs = dict(learning_rate=1e-5, nan_guard_steps=0)
     tail = ()
     if regime == "controlnet":
-        # fp32 AdamW moments on the 0.7B ControlNet are ~5.6 GB; bf16 first
-        # moment keeps the regime inside one v5e.
+        # fp32 AdamW nu on the 0.7B ControlNet is 2.7 GB and the MultiSteps
+        # accumulator another 1.4 — with the frozen UNet resident this
+        # regime is the tightest; bf16 first moment claws half of mu back.
         tx = make_optimizer(mu_dtype="bfloat16", **opt_kwargs)
+        trainable = m["ctrl_params"]
+    elif regime == "controlnet-af":
+        # adafactor feasibility point: factored second moment ~= params/row
+        tx = make_optimizer(optimizer="adafactor", **opt_kwargs)
         trainable = m["ctrl_params"]
     elif regime == "temporal":
         # partitioned subset: grads + moments only for the temporal blocks
-        tx = make_optimizer(**opt_kwargs)
+        tx = make_optimizer(mu_dtype="bfloat16", **opt_kwargs)
         trainable = split_trainable(m["unet_params"], temporal_blocks_predicate)
         tail = (m["unet_params"],)
     elif regime == "full":
@@ -158,50 +169,75 @@ def bench_regime(m, regime, accum, measure_steps):
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
 
-    if regime == "controlnet":
+    if regime.startswith("controlnet"):
         step_fn = make_controlnet_train_step(
             m["unet"], m["ctrl"], m["vae"], m["clip"], tx,
             conditioning_dropout_prob=0.1, encode_chunk=ENC_CHUNK,
         )
         extra = (m["unet_params"], m["vae_params"], m["clip_params"])
+        batch_argnums = (4, 5)  # clips, bbox are consumed — donate the HBM
     else:
         step_fn = make_svd_train_step(
             m["unet"], m["vae"], m["clip"], tx, conditioning_dropout_prob=0.1,
             partitioned=(regime == "temporal"), encode_chunk=ENC_CHUNK,
         )
         extra = (m["vae_params"], m["clip_params"])
+        batch_argnums = (3, 4)
 
     state = init_train_state(trainable, tx)
-    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    jit_step = jax.jit(step_fn, donate_argnums=(0,) + batch_argnums)
 
-    t0 = time.time()
-    state, metrics = jit_step(state, *extra, clips, bbox, jax.random.PRNGKey(1), *tail)
-    jax.block_until_ready(metrics)
-    compile_s = time.time() - t0
-    loss0 = float(metrics["loss"])
-
-    times = []
-    for i in range(measure_steps):
+    if analyze_only:
         t0 = time.time()
-        state, metrics = jit_step(
-            state, *extra, clips, bbox, jax.random.PRNGKey(2 + i), *tail
-        )
-        jax.block_until_ready(metrics)
-        times.append(time.time() - t0)
-    micro_s = min(times)
+        compiled = jit_step.lower(
+            state, *extra, clips, bbox, jax.random.PRNGKey(1), *tail
+        ).compile()
+        ma = compiled.memory_analysis()
+        out = {"regime": regime, "compile_s": round(time.time() - t0, 1)}
+        for k in (
+            "temp_size_in_bytes",
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "generated_code_size_in_bytes",
+            "alias_size_in_bytes",
+        ):
+            try:
+                out[k.replace("_in_bytes", "_gb")] = round(
+                    getattr(ma, k) / 2**30, 2
+                )
+            except Exception:
+                pass
+        return out
 
-    # FLOPs of the compiled micro-step from XLA's own cost analysis.
+    # AOT-compile once; execute the same executable for the timed calls
+    # (avoids a second trip through the flaky remote compile helper).
+    t0 = time.time()
+    compiled = jit_step.lower(
+        state, *extra, clips, bbox, jax.random.PRNGKey(0), *tail
+    ).compile()
+    compile_s = time.time() - t0
     try:
-        ca = (
-            jit_step.lower(state, *extra, clips, bbox, jax.random.PRNGKey(0), *tail)
-            .compile()
-            .cost_analysis()
-        )
+        ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", float("nan")))
     except Exception:
         flops = float("nan")
+
+    state, metrics = compiled(state, *extra, clips, bbox, jax.random.PRNGKey(1), *tail)
+    jax.block_until_ready(metrics)
+    loss0 = float(metrics["loss"])
+
+    times = []
+    for i in range(measure_steps):
+        clips, bbox = make_batch(m["F"], seed=11 + i)  # fresh (donated) batch
+        t0 = time.time()
+        state, metrics = compiled(
+            state, *extra, clips, bbox, jax.random.PRNGKey(2 + i), *tail
+        )
+        jax.block_until_ready(metrics)
+        times.append(time.time() - t0)
+    micro_s = min(times)
     mfu = flops / micro_s / V5E_PEAK_BF16 if flops == flops else float("nan")
 
     from ctrlv_tpu.ops import get_attention_impl
@@ -231,6 +267,12 @@ def main():
     # VERDICT r2 #10: keep kernels honest under training — the MHA custom_vjp
     # recomputes the forward via XLA in the backward; measure auto vs xla.
     ap.add_argument("--attention_impl", default="auto", choices=["auto", "xla", "pallas"])
+    # compile-only: print XLA's memory analysis (temp/arg/output GB) and exit
+    ap.add_argument("--analyze", action="store_true")
+    ap.add_argument("--enc_chunk", type=int, default=5)
+    # "sub" remats each ResBlock/transformer individually: lower bwd peak
+    # memory (the single-chip full-size knob) at more recompute
+    ap.add_argument("--remat", default="block", choices=["block", "sub"])
     args = ap.parse_args()
 
     if args.attention_impl != "auto":
@@ -239,15 +281,18 @@ def main():
         set_attention_impl(args.attention_impl)
 
     regimes = (
-        ["controlnet", "temporal", "full", "full-af"]
+        ["controlnet", "controlnet-af", "temporal", "full", "full-af"]
         if args.regime == "all"
         else [args.regime]
     )
-    m = build_models()
+    m = build_models(remat_granularity=args.remat)
     results = []
     for regime in regimes:
         try:
-            r = bench_regime(m, regime, args.accum, args.measure_steps)
+            r = bench_regime(
+                m, regime, args.accum, args.measure_steps,
+                analyze_only=args.analyze, enc_chunk=args.enc_chunk,
+            )
         except Exception as e:  # OOM etc: record, keep going
             r = {"regime": regime, "error": f"{type(e).__name__}: {str(e)[:2000]}"}
         print(json.dumps(r), flush=True)
