@@ -25,11 +25,29 @@ from .layers import (
 
 
 class TransformerSpatioTemporalModel(nn.Module):
+    """Spatio-temporal transformer (SVD block): spatial transformer +
+    temporal transformer with learned alpha-blend per layer.
+
+    temporal_layout:
+      "seq" (default) — the temporal block runs on (B*S, F, C) via an
+        explicit HBM transpose pair (the reference's flatten/permute dance,
+        unet_spatio_temporal_condition.py:87-99; XLA turns it into two
+        relayout copies that fuse well with neighbors).
+      "frames_major" — the temporal block stays in the UNet-native
+        (B*F, S, C) layout and the frame attention uses the frames-major
+        Pallas kernel. Measured NET-SLOWER on the flagship step (463 vs
+        457 ms, PERF.md round-3: the kernel's strided DMA + VMEM slab
+        transposes cost more than the copies they remove, and the temporal
+        LN stats lose their (B*S, F) shape advantage) — kept as an opt-in
+        documented negative result and for frame-sharded experimentation.
+    """
+
     num_attention_heads: int
     attention_head_dim: int
     in_channels: int
     num_layers: int = 1
     cross_attention_dim: Optional[int] = 1024
+    temporal_layout: str = "seq"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -45,21 +63,22 @@ class TransformerSpatioTemporalModel(nn.Module):
         seq = height * width
         inner_dim = self.num_attention_heads * self.attention_head_dim
 
+        fm = self.temporal_layout == "frames_major"
         # Temporal cross-attn context: first frame's CLIP token, batched to
-        # match the frames-major temporal block input (B*F, S, C). The
-        # temporal transformer runs ENTIRELY in the UNet's native layout —
-        # LN/FF/cross-attn are last-axis ops, and the frame self-attention
-        # uses the frames-major kernel (ops/mha.py) — so the reference's
-        # (B*S, F, C) flatten/permute dance (SURVEY.md §7 hard-part 1,
-        # unet_spatio_temporal_condition.py:87-99) never touches HBM.
+        # match the temporal block input ((B*F, S, C) frames-major, else
+        # (B*S, F, C)).
         ctx_tokens = encoder_hidden_states.shape[-2]
-        time_context = encoder_hidden_states.reshape(
+        tc = encoder_hidden_states.reshape(
             batch_size, num_frames, ctx_tokens, -1
         )[:, :1]  # (B, 1, T, cross) — first frame's token
-        time_context = jnp.broadcast_to(
-            time_context,
-            (batch_size, num_frames, ctx_tokens, time_context.shape[-1]),
-        ).reshape(bf, ctx_tokens, -1)
+        if fm:
+            time_context = jnp.broadcast_to(
+                tc, (batch_size, num_frames, ctx_tokens, tc.shape[-1])
+            ).reshape(bf, ctx_tokens, -1)
+        else:
+            time_context = jnp.broadcast_to(
+                tc, (batch_size, seq, ctx_tokens, tc.shape[-1])
+            ).reshape(batch_size * seq, ctx_tokens, -1)
 
         residual = hidden_states
         h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(
@@ -90,15 +109,30 @@ class TransformerSpatioTemporalModel(nn.Module):
             )(h, encoder_hidden_states)
 
             h_mix = h + emb
-            # Frames-major: stays (B*F, S, C) end to end.
-            h_mix = TemporalBasicTransformerBlock(
+            tblk = TemporalBasicTransformerBlock(
                 dim=inner_dim,
                 num_attention_heads=self.num_attention_heads,
                 attention_head_dim=self.attention_head_dim,
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
-            )(h_mix, time_context, frames_major=num_frames)
+            )
+            if fm:
+                # Frames-major: stays (B*F, S, C) end to end.
+                h_mix = tblk(h_mix, time_context, frames_major=num_frames)
+            else:
+                # (B*F, S, C) -> (B*S, F, C): frames become the sequence axis.
+                h_mix = (
+                    h_mix.reshape(batch_size, num_frames, seq, inner_dim)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(batch_size * seq, num_frames, inner_dim)
+                )
+                h_mix = tblk(h_mix, time_context)
+                h_mix = (
+                    h_mix.reshape(batch_size, seq, num_frames, inner_dim)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bf, seq, inner_dim)
+                )
 
             h = AlphaBlender(
                 alpha=0.5, merge_strategy="learned_with_images", name="time_mixer"

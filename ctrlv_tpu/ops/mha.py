@@ -276,10 +276,12 @@ small_mha_attention.defvjp(_small_fwd, _small_bwd)
 
 
 def _pick_block_n_fm(s: int, f: int, hd: int, itemsize: int) -> int:
-    # Tile (F, nb, HD) ≤ ~1 MB per operand: the kernel keeps q/k/v/out slabs
-    # plus their VMEM transposes and one (nb, F, F) f32 score tile alive.
-    for cand in (128, 64, 32, 16, 8):
-        if s % cand == 0 and f * cand * hd * itemsize <= 1024 * 1024:
+    # Tile (F, nb, HD) ≤ ~512 KB per operand. Mosaic allocates the unrolled
+    # head loop's f32 score/exp tiles on the VMEM stack; a 1 MB operand
+    # budget measured 30 MB of stack at (50,2560,320)/F=25 — keep blocks
+    # small enough that slabs + per-head tiles + double buffering fit 16 MB.
+    for cand in (64, 32, 16, 8):
+        if s % cand == 0 and f * cand * hd * itemsize <= 512 * 1024:
             return cand
     return 0
 
@@ -298,13 +300,20 @@ def small_mha_fm_supported(
     )
 
 
-def _small_fm_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+def _small_fm_kernel(q_ref, k_ref, v_ref, o_ref, o_scratch, *, heads: int, scale: float):
     # refs: (F, nb, HD) — all frames of one batch element's pixel block.
-    q = jnp.swapaxes(q_ref[:], 0, 1)  # (nb, F, HD) — VMEM-local transpose
+    # No slab transposes: each head's batched dots consume the frames-major
+    # tiles directly (batch dim nb at axis 1), and only the accumulated
+    # output is transposed once from scratch — this keeps the VMEM stack
+    # small enough for Mosaic's unrolled-loop allocation.
+    hd = q_ref.shape[-1]
+    d = hd // heads
+    # One whole-slab (F, nb, HD) -> (nb, F, HD) transpose per operand
+    # (Mosaic batched matmuls require the batch dim at position 0; per-head
+    # transposes measured 5.4 ms/instance vs ~1.4 for the seq-layout kernel)
+    q = jnp.swapaxes(q_ref[:], 0, 1)
     k = jnp.swapaxes(k_ref[:], 0, 1)
     v = jnp.swapaxes(v_ref[:], 0, 1)
-    hd = q.shape[-1]
-    d = hd // heads
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         logits = jax.lax.dot_general(
@@ -312,7 +321,7 @@ def _small_fm_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
             k[:, :, sl],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # (nb, F, F)
+        ) * scale  # (nb, Fq, Fk)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
@@ -321,8 +330,9 @@ def _small_fm_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
             v[:, :, sl],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)  # (nb, F, d)
-        o_ref[:, :, sl] = jnp.swapaxes(o, 0, 1)  # back to (F, nb, d)
+        )  # (nb, F, d)
+        o_scratch[:, :, sl] = o.astype(o_ref.dtype)
+    o_ref[:] = jnp.swapaxes(o_scratch[:], 0, 1)  # (F, nb, HD)
 
 
 def _xla_fm(q3, k3, v3, heads, scale, f):
@@ -352,6 +362,7 @@ def _small_fm_forward(q3, k3, v3, heads, scale, f):
         interpret=interpret,
         in_specs=[spec] * 3,
         out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((nb, f, hd), q3.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=4 * bf * s * f * hd,
             bytes_accessed=2 * (q3.size + k3.size + v3.size) * q3.dtype.itemsize,

@@ -516,3 +516,28 @@ class TestFramesMajorTemporalAttention:
         np.testing.assert_allclose(
             np.asarray(out_fm), np.asarray(out_seq_fm), atol=2e-5
         )
+
+    def test_transformer_st_layouts_agree(self):
+        """TransformerSpatioTemporalModel: temporal_layout="frames_major"
+        must match the default seq layout (same params, same input)."""
+        from ctrlv_tpu.models.transformer_st import TransformerSpatioTemporalModel
+
+        b, f, hgt, wdt, c = 1, 3, 4, 4, 64
+        x = jax.random.normal(jax.random.PRNGKey(5), (b * f, hgt, wdt, c))
+        ehs = jax.random.normal(jax.random.PRNGKey(6), (b * f, 1, 48))
+        ioi = jnp.zeros((b, f))
+        kw = dict(
+            num_attention_heads=2, attention_head_dim=32, in_channels=c,
+            cross_attention_dim=48,
+        )
+        m_seq = TransformerSpatioTemporalModel(**kw)
+        m_fm = TransformerSpatioTemporalModel(temporal_layout="frames_major", **kw)
+        params = m_seq.init(jax.random.PRNGKey(0), x, ehs, ioi)
+        assert jax.tree.structure(params) == jax.tree.structure(
+            m_fm.init(jax.random.PRNGKey(0), x, ehs, ioi)
+        )
+        out_seq = m_seq.apply(params, x, ehs, ioi)
+        out_fm = m_fm.apply(params, x, ehs, ioi)
+        np.testing.assert_allclose(
+            np.asarray(out_fm), np.asarray(out_seq), atol=2e-5
+        )
