@@ -292,3 +292,33 @@ def test_ema():
     # step 1: decay = 2/11
     expected = 1.0 * (2 / 11)
     np.testing.assert_allclose(np.asarray(state.params["w"]), expected, rtol=1e-5)
+
+
+def test_remat_granularity_preserves_forward_and_grads(models):
+    """remat_granularity ("block" vs "sub") is a memory/compile knob only:
+    identical params, forward outputs, and gradients (UNet tiny, CPU)."""
+    from ctrlv_tpu.models import UNetSpatioTemporalConditionModel
+
+    cfg = models["unet_cfg"]
+    F_ = 3
+    lh = lw = 16
+    sample = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, F_, lh, lw, cfg.in_channels)),
+        jnp.float32,
+    )
+    enc = jnp.ones((1, 1, cfg.cross_attention_dim), jnp.float32)
+    tids = jnp.asarray([[6.0, 127.0, 0.02]])
+    t = jnp.asarray(0.5)
+
+    outs, grads = [], []
+    for gran in ("block", "sub"):
+        unet = UNetSpatioTemporalConditionModel(
+            config=cfg, gradient_checkpointing=True, remat_granularity=gran
+        )
+        params = models["unet_params"]  # same weights for both granularities
+        f = lambda p, u=unet: jnp.sum(u.apply(p, sample, t, enc, tids) ** 2)
+        outs.append(unet.apply(params, sample, t, enc, tids))
+        grads.append(jax.grad(f)(params))
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

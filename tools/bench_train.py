@@ -9,6 +9,7 @@ training regimes on the real TPU and emits one JSON line per regime:
   controlnet    — ControlNet trainable, UNet/VAE/CLIP frozen (§3.2), AdamW
   controlnet-af — same with adafactor (factored nu: the 16 GB-chip point)
   temporal      — SVD UNet, temporal-transformer-blocks-only subset (§3.1)
+  lora          — rank-4 LoRA on to_q/k/v/out_0 (reference LoRA workload)
   full          — SVD UNet full finetune, AdamW mu_dtype=bf16 (feasibility)
   full-af       — SVD UNet full finetune, adafactor (memory-lean fallback)
 
@@ -157,6 +158,15 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
         tx = make_optimizer(mu_dtype="bfloat16", **opt_kwargs)
         trainable = split_trainable(m["unet_params"], temporal_blocks_predicate)
         tail = (m["unet_params"],)
+    elif regime == "lora":
+        # reference LoRA workload: rank-4 on to_q/k/v/out_0
+        # (/root/reference/tools/train_video_diffusion.py:127-137); trainable
+        # tree is tiny so f32 moments are free
+        from ctrlv_tpu.train import lora_init
+
+        tx = make_optimizer(**opt_kwargs)
+        trainable = lora_init(jax.random.PRNGKey(42), m["unet_params"]["params"])
+        tail = (m["unet_params"],)
     elif regime == "full":
         tx = make_optimizer(mu_dtype="bfloat16", **opt_kwargs)
         trainable = m["unet_params"]
@@ -179,7 +189,8 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
     else:
         step_fn = make_svd_train_step(
             m["unet"], m["vae"], m["clip"], tx, conditioning_dropout_prob=0.1,
-            partitioned=(regime == "temporal"), encode_chunk=ENC_CHUNK,
+            partitioned=(regime == "temporal"), lora=(regime == "lora"),
+            encode_chunk=ENC_CHUNK,
         )
         extra = (m["vae_params"], m["clip_params"])
         batch_argnums = (3, 4)
@@ -281,7 +292,7 @@ def main():
         set_attention_impl(args.attention_impl)
 
     regimes = (
-        ["controlnet", "controlnet-af", "temporal", "full", "full-af"]
+        ["controlnet", "controlnet-af", "temporal", "lora", "full", "full-af"]
         if args.regime == "all"
         else [args.regime]
     )
