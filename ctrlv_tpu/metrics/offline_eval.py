@@ -107,3 +107,40 @@ def evaluate_media_dir(
     if lpips_vals:
         out["lpips"] = float(np.mean(lpips_vals))
     return out
+
+
+if __name__ == "__main__":
+    # CLI parity with the reference's offline harness
+    # (/root/reference/src/ctrlv/metrics/fvd.py:291-340), whose __main__
+    # hardcodes vid_dirs + SAMPLES/NUM_FRAMES/DOWNSAMPLE constants; here
+    # the same knobs are proper flags.
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("media_dirs", nargs="+")
+    ap.add_argument("--samples", type=int, default=150)
+    ap.add_argument("--num_frames", type=int, default=11)
+    ap.add_argument(
+        "--downsample",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="2x temporal downsample before scoring (reference default)",
+    )
+    ap.add_argument("--width", type=int, default=410)
+    ap.add_argument("--height", type=int, default=256)
+    args = ap.parse_args()
+    for d in args.media_dirs:
+        print(f"Results for: {d} START -----------------")
+        print(
+            json.dumps(
+                evaluate_media_dir(
+                    d,
+                    samples=args.samples,
+                    num_frames=args.num_frames,
+                    downsample=args.downsample,
+                    size=(args.width, args.height),
+                )
+            )
+        )
+        print(f"Results for: {d} END   -----------------")
