@@ -131,3 +131,33 @@ def test_stage1_f_measure_matches_reference_transliteration():
 
     got = stage1_frame_f_measure(gen, gt)
     assert got == expected
+
+
+def test_offline_eval_cli_smoke(tmp_path):
+    """python -m ctrlv_tpu.metrics.offline_eval <dir> (reference fvd.py
+    __main__ parity surface) runs end-to-end and prints a JSON result."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from ctrlv_tpu.utils.video_io import export_to_video
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        for kind in ("generated_videos", "gt_videos"):
+            v = (rng.random((6, 32, 32, 3)) * 255).astype(np.uint8)
+            export_to_video(v, str(tmp_path / f"{kind}_{i}.gif"))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "ctrlv_tpu.metrics.offline_eval", str(tmp_path),
+         "--samples", "2", "--num_frames", "3", "--width", "32", "--height", "32"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.splitlines()[1])
+    assert payload["num_pairs"] == 2
+    assert {"fvd", "ssim", "psnr"} <= set(payload)
