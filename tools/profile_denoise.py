@@ -125,6 +125,12 @@ def main():
         "--attention_impl", default="auto", choices=["auto", "xla", "pallas"]
     )
     ap.add_argument("--fused_resblock", action="store_true")
+    ap.add_argument(
+        "--small_bd",
+        default="on",
+        choices=["on", "off"],
+        help="head-packed (block-diagonal) temporal attention kernel",
+    )
     args = ap.parse_args()
 
     if args.attention_impl != "auto":
@@ -135,6 +141,9 @@ def main():
         from ctrlv_tpu.ops.resblock import set_fused_resblock
 
         set_fused_resblock(True)
+    from ctrlv_tpu.ops.mha import set_small_bd_attention
+
+    set_small_bd_attention(args.small_bd == "on")
 
     step, sargs = build_step()
     t0 = time.time()
