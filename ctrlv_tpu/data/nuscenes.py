@@ -1,13 +1,16 @@
 """nuScenes dataset (front camera, 3D boxes projected to image space).
 
 Behavioral parity: /root/reference/src/ctrlv/datasets/nuscenes_.py —
-CAM_FRONT keyframes resampled from 12Hz to ~7Hz, 3D box corners projected
-through the camera intrinsics with in-front-of-camera clipping, matplotlib-
-prerendered bbox frames cached under `bbox_dir`.
+CAM_FRONT sample_data stream resampled from 12 Hz to ~7-8 Hz by cumulative
+timestamp deltas (:283-306) to pick CLIP START tokens; frames within a
+clip follow the raw `next` chain (:400-412); labels come from the devkit's
+`get_boxes` (keyframe annotations, pose-interpolated for sweeps)
+transformed global->ego->camera and hull-clipped to the canvas (:432-489);
+bbox conditioning frames are prerendered images cached under `bbox_dir`.
 
-The nuscenes devkit is an optional dependency (not in this image): the
-class gates on it at construction. The 3D->2D projection math is native
-(numpy) so the devkit is only needed for metadata IO.
+Fully devkit-free: metadata IO, box geometry, and quaternion math live in
+`nuscenes_tables.py` (the devkit is consulted only for the official scene
+splits when installed; see `split_scene_names`).
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ from typing import List, Optional
 import numpy as np
 
 from .base import VideoDataset
+from .nuscenes_tables import NuScenesTables, split_scene_names
 
 
 def view_points(points: np.ndarray, view: np.ndarray) -> np.ndarray:
@@ -136,68 +140,172 @@ def project_box_to_2d(
     return post_process_coords(pts.T, imsize=imsize)
 
 
+# Closest-match class groupings (reference nuscenes_.py:164-216).
+NUSC_CLASS_TO_GROUP_IDS_KITTI = {
+    "animal": 8,
+    "human.pedestrian.adult": 4,
+    "human.pedestrian.child": 4,
+    "human.pedestrian.construction_worker": 5,
+    "human.pedestrian.personal_mobility": 4,
+    "human.pedestrian.police_officer": 5,
+    "human.pedestrian.stroller": 8,
+    "human.pedestrian.wheelchair": 4,
+    "movable_object.barrier": 8,
+    "movable_object.debris": 8,
+    "movable_object.pushable_pullable": 8,
+    "movable_object.trafficcone": 8,
+    "static_object.bicycle_rack": 8,
+    "vehicle.bicycle": 6,
+    "vehicle.bus.bendy": 3,
+    "vehicle.bus.rigid": 3,
+    "vehicle.car": 1,
+    "vehicle.construction": 3,
+    "vehicle.emergency.ambulance": 3,
+    "vehicle.emergency.police": 1,
+    "vehicle.motorcycle": 6,
+    "vehicle.trailer": 3,
+    "vehicle.truck": 3,
+    "None": 9,
+}
+NUSC_CLASS_TO_GROUP_IDS = {  # BDD100k-style groups (the map the labels use)
+    "animal": 1,
+    "human.pedestrian.adult": 1,
+    "human.pedestrian.child": 1,
+    "human.pedestrian.construction_worker": 1,
+    "human.pedestrian.personal_mobility": 1,
+    "human.pedestrian.police_officer": 1,
+    "human.pedestrian.stroller": 1,
+    "human.pedestrian.wheelchair": 1,
+    "movable_object.barrier": 10,
+    "movable_object.debris": 10,
+    "movable_object.pushable_pullable": 10,
+    "movable_object.trafficcone": 10,
+    "static_object.bicycle_rack": 10,
+    "vehicle.bicycle": 8,
+    "vehicle.bus.bendy": 5,
+    "vehicle.bus.rigid": 5,
+    "vehicle.car": 3,
+    "vehicle.construction": 4,
+    "vehicle.emergency.ambulance": 4,
+    "vehicle.emergency.police": 3,
+    "vehicle.motorcycle": 7,
+    "vehicle.trailer": 4,
+    "vehicle.truck": 4,
+    "None": 1,
+}
+
+
 @dataclasses.dataclass
 class NuScenesDataset(VideoDataset):
     version: str = "v1.0-trainval"
     bbox_dir: Optional[str] = None
     target_fps: float = 7.0
     max_boxes: int = 30
+    test_split: bool = False
 
     def __post_init__(self):
-        try:
-            from nuscenes.nuscenes import NuScenes  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "NuScenesDataset requires the `nuscenes-devkit` package, which "
-                "is not installed in this environment. The projection math "
-                "(view_points) and the rest of the pipeline are native; only "
-                "metadata IO needs the devkit."
-            ) from e
-        from nuscenes.nuscenes import NuScenes
-
         self.orig_H, self.orig_W = 900, 1600
-        self.nusc = NuScenes(
-            version=self.version, dataroot=os.path.join(self.root, "nuscenes"),
-            verbose=False,
+        self.nusc = NuScenesTables(
+            dataroot=os.path.join(self.root, "nuscenes"), version=self.version
         )
-        # Front-cam sample_data tokens per scene, resampled 12Hz -> target_fps
-        # by cumulative timestamp deltas (reference nuscenes_.py:283-306).
-        self.clips: List[List[str]] = []
+        split = "test" if self.test_split else ("train" if self.train else "val")
+        names = set(
+            split_scene_names(
+                self.nusc.dataroot, self.version, split, self.nusc.scene
+            )
+        )
+        # The reference forces non-overlapping clips for validation
+        # (nuscenes_.py:276-279) and uses resampled tokens as clip STARTS
+        # only — frames inside a clip follow the raw 12 Hz `next` chain
+        # (:400-412).
+        non_overlap = self.non_overlapping_clips or not self.train
+        self.TRACKID_LOOKUP: dict = {}
+        self.clip_starts: List[str] = []
         for scene in self.nusc.scene:
+            if names and scene["name"] not in names:
+                continue
             tokens, stamps = [], []
-            sd = self.nusc.get("sample", scene["first_sample_token"])
-            cam = self.nusc.get("sample_data", sd["data"]["CAM_FRONT"])
-            while cam is not None:
-                tokens.append(cam["token"])
+            sample = self.nusc.get("sample", scene["first_sample_token"])
+            tok = sample["data"].get("CAM_FRONT", "")
+            while tok:
+                cam = self.nusc.get("sample_data", tok)
+                tokens.append(tok)
                 stamps.append(cam["timestamp"] / 1e6)
-                cam = (
-                    self.nusc.get("sample_data", cam["next"]) if cam["next"] else None
-                )
+                tok = cam["next"]
             keep = resample_by_timestamps(np.asarray(stamps), self.target_fps)
-            tokens = [tokens[i] for i in keep]
-            for ci in range(len(tokens) // self.clip_length):
-                self.clips.append(
-                    tokens[ci * self.clip_length : (ci + 1) * self.clip_length]
-                )
+            resampled = [tokens[i] for i in keep]
+            if non_overlap:
+                for ci in range(len(resampled) // self.clip_length):
+                    self.clip_starts.append(resampled[ci * self.clip_length])
+            else:
+                for ci in range(len(resampled) - self.clip_length + 1):
+                    self.clip_starts.append(resampled[ci])
+        self._clip_token_cache: dict = {}
 
     def __len__(self):
-        return len(self.clips)
+        if self.data_type == "image":
+            return self.num_frames_total()
+        return len(self.clip_starts)
 
     def num_frames_total(self):
-        return len(self.clips) * self.clip_length
+        return len(self.clip_starts) * self.clip_length
+
+    def _clip_tokens(self, index: int) -> List[str]:
+        """Raw `next`-chain walk from the clip's start token (memoized)."""
+        if index in self._clip_token_cache:
+            return self._clip_token_cache[index]
+        tok = self.clip_starts[index]
+        tokens = [tok]
+        while len(tokens) < self.clip_length:
+            nxt = self.nusc.get("sample_data", tokens[-1])["next"]
+            tokens.append(nxt if nxt else tokens[-1])  # clamp at stream end
+        if len(self._clip_token_cache) > 64:
+            self._clip_token_cache.clear()
+        self._clip_token_cache[index] = tokens
+        return tokens
 
     def get_frame_file_by_index(self, index, offset=0):
-        token = self.clips[index][offset]
-        sd = self.nusc.get("sample_data", token)
+        sd = self.nusc.get("sample_data", self._clip_tokens(index)[offset])
         return os.path.join(self.nusc.dataroot, sd["filename"])
 
     def get_labels_by_index(self, index, offset=0) -> List[dict]:
-        token = self.clips[index][offset]
-        _, boxes, camera_intrinsic = self.nusc.get_sample_data(token)
+        """Reference `_parse_label` (nuscenes_.py:431-494): class-filtered
+        boxes moved global->ego->camera, in-front corner filter, convex-hull
+        canvas intersection."""
+        token = self._clip_tokens(index)[offset]
+        sd = self.nusc.get("sample_data", token)
+        sensor = self.nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        intrinsic = np.asarray(sensor["camera_intrinsic"], dtype=np.float64)
+        ego_pose = self.nusc.get("ego_pose", sd["ego_pose_token"])
+
+        from .nuscenes_tables import Quaternion
+
         labels = []
-        for box in boxes:
+        for box in self.nusc.get_boxes(token):
+            if (
+                box.name not in NUSC_CLASS_TO_GROUP_IDS
+                or NUSC_CLASS_TO_GROUP_IDS_KITTI[box.name] == 8
+            ):
+                continue
+            instance_token = self.nusc.get("sample_annotation", box.token)[
+                "instance_token"
+            ]
+            if instance_token not in self.TRACKID_LOOKUP:
+                self.TRACKID_LOOKUP[instance_token] = len(self.TRACKID_LOOKUP)
+
+            alpha = box.orientation.angle
+            dims = [float(box.wlh[2]), float(box.wlh[0]), float(box.wlh[1])]
+            loc = [float(c) for c in box.center]
+            rot_y = float(box.orientation.axis[1])
+
+            # global -> ego -> camera frame
+            box.translate(-np.asarray(ego_pose["translation"]))
+            box.rotate(Quaternion(ego_pose["rotation"]).inverse)
+            box.translate(-np.asarray(sensor["translation"]))
+            box.rotate(Quaternion(sensor["rotation"]).inverse)
+
             coords = project_box_to_2d(
-                box.corners(), camera_intrinsic, imsize=(self.orig_W, self.orig_H)
+                box.corners(), intrinsic, imsize=(self.orig_W, self.orig_H)
             )
             if coords is None:
                 continue  # fully behind camera or hull misses the canvas
@@ -205,16 +313,16 @@ class NuScenesDataset(VideoDataset):
             labels.append(
                 dict(
                     frame=offset,
-                    trackID=hash(box.token) % 10000,
+                    trackID=self.TRACKID_LOOKUP[instance_token],
                     type=box.name,
                     truncated=0.0,
                     occluded=0,
-                    alpha=0.0,
+                    alpha=float(alpha),
                     bbox=[float(x1), float(y1), float(x2), float(y2)],
-                    dimensions=[float(box.wlh[2]), float(box.wlh[0]), float(box.wlh[1])],
-                    location=[float(c) for c in box.center],
-                    rotation_y=float(box.orientation.yaw_pitch_roll[0]),
-                    id_type=1,
+                    dimensions=dims,
+                    location=loc,
+                    rotation_y=rot_y,
+                    id_type=NUSC_CLASS_TO_GROUP_IDS[box.name],
                 )
             )
             if len(labels) >= self.max_boxes:
