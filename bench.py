@@ -26,26 +26,11 @@ STEPS = 25
 H, W = 320, 512
 
 
-def _preflight_small_bd():
-    """Compile the head-packed temporal-attention kernel once in isolation.
-
-    The shape gate admits it in the full sampler program; if Mosaic
-    rejects it on this backend, route back to the proven per-head kernel
-    instead of failing the whole (multi-minute) bench compile.
-    """
-    from ctrlv_tpu.ops.mha import set_small_bd_attention, small_mha_attention
-
-    try:
-        x = jnp.zeros((64, 25, 320), jnp.bfloat16)
-        out = jax.jit(lambda a: small_mha_attention(a, a, a, 5, 0.125))(x)
-        jax.block_until_ready(out)
-    except Exception as e:  # pragma: no cover - hardware-dependent
-        print(f"# small_bd preflight failed ({type(e).__name__}); routing off")
-        set_small_bd_attention(False)
-
-
 def main():
-    _preflight_small_bd()
+    from ctrlv_tpu.ops.mha import preflight_small_bd
+
+    if not preflight_small_bd():
+        print("# head-packed temporal attention routed off (preflight)")
     from ctrlv_tpu.models import (
         AutoencoderKLTemporalDecoder,
         CLIPVisionConfig,

@@ -293,6 +293,27 @@ def set_small_bd_attention(on: bool) -> None:
     _SMALL_BD = bool(on)
 
 
+def preflight_small_bd() -> bool:
+    """Compile the head-packed kernel once in isolation on this backend.
+
+    Routes back to the per-head kernel (and returns False) if Mosaic
+    rejects it, so large downstream programs (bench monolith, the driver's
+    entry() compile check) don't fail on an unproven kernel variant. The
+    (64, 25, 320) shape picks the same nb=32 block config the flagship
+    temporal sites use.
+    """
+    if not _SMALL_BD:
+        return False
+    try:
+        x = jnp.zeros((64, 25, 320), jnp.bfloat16)
+        out = jax.jit(lambda a: small_mha_attention(a, a, a, 5, 0.125))(x)
+        jax.block_until_ready(out)
+        return True
+    except Exception:  # pragma: no cover - hardware-dependent
+        set_small_bd_attention(False)
+        return False
+
+
 def _pick_block_n_bd(n: int, f: int, hd: int, heads: int, itemsize: int) -> int:
     rows = heads * f
     if rows > 512:
