@@ -8,7 +8,6 @@ import math
 import os
 
 import numpy as np
-import pytest
 
 from ctrlv_tpu.data.nuscenes import NuScenesDataset, NUSC_CLASS_TO_GROUP_IDS
 from ctrlv_tpu.data.nuscenes_tables import (
@@ -372,3 +371,29 @@ def test_dataset_ego_and_sensor_transform(tmp_path):
     np.testing.assert_allclose(
         car["bbox"], [u.min(), v.min(), u.max(), v.max()], atol=1e-6
     )
+
+
+def test_dataset_through_loader_and_collate(tmp_path):
+    """Full input-pipeline integration: factory dispatch, batching,
+    object collate, and rasterized bbox conditioning frames."""
+    from ctrlv_tpu.data.loader import get_dataloader
+
+    root = _build_dataroot(tmp_path)
+    ds, dl = get_dataloader(
+        root,
+        "nuscenes",
+        if_train=True,
+        batch_size=1,
+        clip_length=4,
+        data_type="clip",
+        train_H=32,
+        train_W=64,
+        if_return_bbox_im=True,
+        prefetch=0,
+    )
+    batch = next(iter(dl))
+    assert batch["clips"].shape == (1, 4, 32, 64, 3)
+    assert batch["bbox_images"].shape == (1, 4, 32, 64, 3)
+    assert batch["objects"]["num_objects"].shape[0] == 1
+    # the rendered conditioning frame is non-empty (the car rect drew)
+    assert float(np.abs(batch["bbox_images"] + 1).max()) > 0.1
