@@ -167,7 +167,7 @@ NUSC_CLASS_TO_GROUP_IDS_KITTI = {
     "vehicle.truck": 3,
     "None": 9,
 }
-NUSC_CLASS_TO_GROUP_IDS = {  # BDD100k-style groups (the map the labels use)
+NUSC_CLASS_TO_GROUP_IDS = {  # BDD100k-style groups (gates class membership)
     "animal": 1,
     "human.pedestrian.adult": 1,
     "human.pedestrian.child": 1,
@@ -205,6 +205,10 @@ class NuScenesDataset(VideoDataset):
 
     def __post_init__(self):
         self.orig_H, self.orig_W = 900, 1600
+        if self.test_split and self.version == "v1.0-trainval":
+            # reference nuscenes_.py:256 switches the table version for the
+            # test split (test scenes live in separate v1.0-test tables)
+            self.version = "v1.0-test"
         self.nusc = NuScenesTables(
             dataroot=os.path.join(self.root, "nuscenes"), version=self.version
         )
@@ -221,6 +225,7 @@ class NuScenesDataset(VideoDataset):
         non_overlap = self.non_overlapping_clips or not self.train
         self.TRACKID_LOOKUP: dict = {}
         self.clip_starts: List[str] = []
+        self.image_tokens: List[str] = []  # per-frame index for image mode
         for scene in self.nusc.scene:
             if names and scene["name"] not in names:
                 continue
@@ -234,6 +239,9 @@ class NuScenesDataset(VideoDataset):
                 tok = cam["next"]
             keep = resample_by_timestamps(np.asarray(stamps), self.target_fps)
             resampled = [tokens[i] for i in keep]
+            # image mode indexes the resampled frames directly (reference
+            # nuscenes_.py:309-311); clip mode uses them as start tokens
+            self.image_tokens.extend(resampled)
             if non_overlap:
                 for ci in range(len(resampled) // self.clip_length):
                     self.clip_starts.append(resampled[ci * self.clip_length])
@@ -244,11 +252,18 @@ class NuScenesDataset(VideoDataset):
 
     def __len__(self):
         if self.data_type == "image":
-            return self.num_frames_total()
+            return len(self.image_tokens)
         return len(self.clip_starts)
 
     def num_frames_total(self):
+        if self.data_type == "image":
+            return len(self.image_tokens)
         return len(self.clip_starts) * self.clip_length
+
+    def _token_at(self, index: int, offset: int) -> str:
+        if self.data_type == "image":
+            return self.image_tokens[index]
+        return self._clip_tokens(index)[offset]
 
     def _clip_tokens(self, index: int) -> List[str]:
         """Raw `next`-chain walk from the clip's start token (memoized)."""
@@ -265,14 +280,14 @@ class NuScenesDataset(VideoDataset):
         return tokens
 
     def get_frame_file_by_index(self, index, offset=0):
-        sd = self.nusc.get("sample_data", self._clip_tokens(index)[offset])
+        sd = self.nusc.get("sample_data", self._token_at(index, offset))
         return os.path.join(self.nusc.dataroot, sd["filename"])
 
     def get_labels_by_index(self, index, offset=0) -> List[dict]:
         """Reference `_parse_label` (nuscenes_.py:431-494): class-filtered
         boxes moved global->ego->camera, in-front corner filter, convex-hull
         canvas intersection."""
-        token = self._clip_tokens(index)[offset]
+        token = self._token_at(index, offset)
         sd = self.nusc.get("sample_data", token)
         sensor = self.nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
         intrinsic = np.asarray(sensor["camera_intrinsic"], dtype=np.float64)
@@ -322,7 +337,9 @@ class NuScenesDataset(VideoDataset):
                     dimensions=dims,
                     location=loc,
                     rotation_y=rot_y,
-                    id_type=NUSC_CLASS_TO_GROUP_IDS[box.name],
+                    # reference nuscenes_.py:442 uses the KITTI-style map
+                    # here (the BDD map only gates membership above)
+                    id_type=NUSC_CLASS_TO_GROUP_IDS_KITTI[box.name],
                 )
             )
             if len(labels) >= self.max_boxes:

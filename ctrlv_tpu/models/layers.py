@@ -77,9 +77,9 @@ class GroupNorm(nn.Module):
         red_axes = tuple(range(1, y.ndim - 1))  # all spatial dims
         s1 = jnp.sum(y, axis=red_axes)  # (B, C)
         s2 = jnp.sum(y * y, axis=red_axes)  # (B, C) — same fusion as s1
-        gmap = (jnp.arange(c)[:, None] // (c // g) == jnp.arange(g)[None, :]).astype(
-            jnp.float32
-        )  # (C, G) one-hot
+        from ..ops.group_norm import _group_map
+
+        gmap = _group_map(c, g)  # (C, G) one-hot, shared grouping convention
         count = (y.size // y.shape[0] // c) * (c // g)
         mean_g = (s1 @ gmap) / count  # (B, G)
         var_g = jnp.maximum((s2 @ gmap) / count - mean_g * mean_g, 0.0)

@@ -36,12 +36,16 @@ def _vae_encode_frames(vae, vae_params, flat, rng, chunk):
     At full size the encoder's full-resolution activations dominate the
     training step's HBM peak (25 frames x 320x512 x 128ch bf16 > 1 GB per
     conv output); `chunk` bounds that via a lax.map whose body is compiled
-    ONCE — same per-frame encode semantics, chunk-sized peak. Falls back to
-    one call when chunk doesn't divide N (static shapes only).
+    ONCE — same per-frame encode semantics, chunk-sized peak. When chunk
+    doesn't divide N it is reduced to the largest divisor of N <= chunk
+    (lax.map needs equal chunks), preserving the memory bound rather than
+    silently falling back to one full-batch call.
     """
     n_frames = flat.shape[0]
-    if not chunk or n_frames <= chunk or n_frames % chunk:
+    if not chunk or n_frames <= chunk:
         return vae.apply(vae_params, flat, rng, True, method=vae.encode)
+    while n_frames % chunk:  # largest divisor of N <= requested chunk
+        chunk -= 1
     n = n_frames // chunk
     groups = flat.reshape((n, chunk) + flat.shape[1:])
     keys = jax.random.split(rng, n)

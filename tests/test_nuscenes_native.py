@@ -9,7 +9,10 @@ import os
 
 import numpy as np
 
-from ctrlv_tpu.data.nuscenes import NuScenesDataset, NUSC_CLASS_TO_GROUP_IDS
+from ctrlv_tpu.data.nuscenes import (
+    NuScenesDataset,
+    NUSC_CLASS_TO_GROUP_IDS_KITTI,
+)
 from ctrlv_tpu.data.nuscenes_tables import (
     Box,
     NuScenesTables,
@@ -326,9 +329,9 @@ def test_dataset_clip_assembly_and_labels(tmp_path):
     np.testing.assert_allclose(
         car["bbox"], [u.min(), v.min(), u.max(), v.max()], atol=1e-6
     )
-    assert car["trackID"] == 0 and car["id_type"] == NUSC_CLASS_TO_GROUP_IDS[
-        "vehicle.car"
-    ]
+    # reference nuscenes_.py:442: id_type comes from the KITTI-style map
+    assert car["trackID"] == 0
+    assert car["id_type"] == NUSC_CLASS_TO_GROUP_IDS_KITTI["vehicle.car"] == 1
     assert car["dimensions"] == [1.5, 2.0, 4.0]  # [h, w, l]
 
     item = ds[0]
@@ -397,3 +400,50 @@ def test_dataset_through_loader_and_collate(tmp_path):
     assert batch["objects"]["num_objects"].shape[0] == 1
     # the rendered conditioning frame is non-empty (the car rect drew)
     assert float(np.abs(batch["bbox_images"] + 1).max()) > 0.1
+
+
+def test_dataset_image_mode(tmp_path):
+    """Image mode indexes the resampled frames directly (reference
+    nuscenes_.py:309-311)."""
+    root = _build_dataroot(tmp_path)
+    ds = NuScenesDataset(
+        root=root, train=True, data_type="image", clip_length=4,
+        train_H=32, train_W=64,
+    )
+    # scene-0001: 13 raw frames resample to every 2nd -> 7 image frames
+    assert len(ds) == 7
+    # index 1 = resampled frame 1 = raw frame 2 (not a clip start walk)
+    assert ds.get_frame_file_by_index(1).endswith("scene-0001-f2.jpg")
+    item = ds[6]  # last resampled frame must be reachable
+    assert item["clip"].shape == (32, 64, 3)
+
+
+def test_dataset_test_split_switches_version(tmp_path):
+    """test_split=True must look for v1.0-test tables, not filter trainval
+    down to an empty set (reference nuscenes_.py:256)."""
+    import pytest
+
+    root = _build_dataroot(tmp_path)
+    with pytest.raises(FileNotFoundError, match="v1.0-test"):
+        NuScenesDataset(root=root, train=True, test_split=True, clip_length=4)
+
+
+def test_vae_encode_chunk_rounds_to_divisor():
+    """A non-dividing encode chunk keeps a bound by rounding down to the
+    largest divisor instead of silently encoding all frames at once."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctrlv_tpu.models import AutoencoderKLTemporalDecoder, VAEConfig
+    from ctrlv_tpu.train.train_step import _vae_encode_frames
+
+    vae = AutoencoderKLTemporalDecoder(config=VAEConfig.tiny())
+    frames = jnp.zeros((10, 16, 16, 3))
+    params = jax.jit(vae.init)(jax.random.PRNGKey(0), frames[:1])
+    rng = jax.random.PRNGKey(1)
+    a = _vae_encode_frames(vae, params, frames, rng, chunk=4)   # -> divisor 2
+    b = _vae_encode_frames(vae, params, frames, rng, chunk=2)
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert a.shape[0] == 10
