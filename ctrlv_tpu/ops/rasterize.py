@@ -137,6 +137,14 @@ _EDGES = tuple((2 * i, 2 * i + 1) for i in range(4)) + tuple(
 )
 _X_EDGES = ((2, 5), (3, 4))
 
+# Distance-to-segment half-widths matching cv2's drawn pixel sets,
+# fitted empirically over random segments (tests/test_rasterize_cv2_parity):
+# cv2 thickness=2 actually lights a ~3 px band with ~1 px end caps —
+# hw=1.4 scores mask-IoU 0.91/segment vs 0.70 at the naive hw=1.0;
+# thickness=1 (the back-X diagonals) is Bresenham, hw=0.5 (IoU 0.885).
+_HW_THICK2 = 1.4
+_HW_THICK1 = 0.5
+
 
 def _segment_coverage(px, py, p0, p1, half_width):
     """Distance-to-segment test for all pixels: (H,W) bool per segment."""
@@ -175,9 +183,9 @@ def rasterize_frame(
     def object_line_cover(c8):  # c8: (8, 2)
         cover = jnp.zeros((height, width), bool)
         for a, b in _EDGES:
-            cover |= _segment_coverage(px, py, c8[a], c8[b], 1.0)
+            cover |= _segment_coverage(px, py, c8[a], c8[b], _HW_THICK2)
         for a, b in _X_EDGES:
-            cover |= _segment_coverage(px, py, c8[a], c8[b], 0.5)
+            cover |= _segment_coverage(px, py, c8[a], c8[b], _HW_THICK1)
         return cover
 
     line_cover = jax.vmap(object_line_cover)(corners)  # (N, H, W)

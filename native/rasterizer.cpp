@@ -106,9 +106,11 @@ void rasterize_frame_native(float* img, int H, int W, const float* corners,
         if (!valid[n]) continue;
         const float* c8 = corners + n * 16;
         const float* color = type_color + n * 3;
+        // half-widths fitted to cv2's drawn pixel sets (thickness 2 is a
+        // ~3 px band): keep in sync with ops/rasterize.py _HW_THICK{2,1}
         for (const auto& e : kEdges) {
             draw_segment(img, H, W, c8[e[0] * 2], c8[e[0] * 2 + 1],
-                         c8[e[1] * 2], c8[e[1] * 2 + 1], color, 1.0f);
+                         c8[e[1] * 2], c8[e[1] * 2 + 1], color, 1.4f);
         }
         for (const auto& e : kXEdges) {
             draw_segment(img, H, W, c8[e[0] * 2], c8[e[0] * 2 + 1],
