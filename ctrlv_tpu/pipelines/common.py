@@ -14,7 +14,6 @@ single jitted program per (shape, steps) signature.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

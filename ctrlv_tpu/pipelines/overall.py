@@ -15,7 +15,7 @@ all pairs), and selection happens on device via binary_mask_iou_batch.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,7 @@ class OverallPipeline:
         max_guidance_scale: float = 3.0,
         control_condition_scale: float = 1.0,
         decode_chunk_size: int = 8,
+        max_decode_frames: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         n = len(GUIDANCE_PAIRS)
         rng1, rng2 = jax.random.split(rng)
@@ -87,8 +88,10 @@ class OverallPipeline:
             noise_aug_strength=noise_aug_strength,
             num_cond_bbox_frames=num_cond_bbox_frames,
             decode_chunk_size=decode_chunk_size,
-            min_guidance_scale=1.0,
-            max_guidance_scale=5.0,  # static fields unused when minmax given
+            # stage 1 decodes 5 candidates x F frames in one batched VAE
+            # call by default; this caps frames per call on tight-memory
+            # chips (SamplingConfig.max_decode_frames semantics)
+            max_decode_frames=max_decode_frames,
         )  # (5, F, H, W, 3) in [0,1]
 
         cleaned = darkness_cleanup(candidates)
@@ -124,6 +127,7 @@ class OverallPipeline:
             noise_aug_strength=noise_aug_strength,
             control_condition_scale=control_condition_scale,
             decode_chunk_size=decode_chunk_size,
+            max_decode_frames=max_decode_frames,
         )[0]
 
         iou, precision, recall = (float(x) for x in scores[best])

@@ -14,6 +14,7 @@ ControlNet+UNet pair is a single fused XLA computation per step.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -168,6 +169,21 @@ class StableVideoControlPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         cond_is_latent = cond_images.shape[-1] == 4
         latent_out = output_type == "latent"
+        if guidance_minmax is None:
+            guidance_minmax = jnp.tile(
+                jnp.asarray(
+                    [[cfg.min_guidance_scale, cfg.max_guidance_scale]], jnp.float32
+                ),
+                (image.shape[0], 1),
+            )
+        # Guidance values flow through the runtime (B,2) array; only do_cfg
+        # is genuinely static. Canonicalize the floats so sweeping guidance
+        # pairs reuses one compiled sampler instead of recompiling per pair.
+        cfg = dataclasses.replace(
+            cfg,
+            min_guidance_scale=0.0,
+            max_guidance_scale=2.0 if cfg.do_cfg else 1.0,
+        )
         key = (cfg, cond_is_latent, latent_out, image.shape, cond_images.shape)
         if key not in self._jitted:
             fn = self._sample_fn(cfg, cond_is_latent, output_latents=latent_out)
@@ -179,13 +195,6 @@ class StableVideoControlPipeline:
                 self._jitted[key] = fn_meshed
             else:
                 self._jitted[key] = jax.jit(fn)
-        if guidance_minmax is None:
-            guidance_minmax = jnp.tile(
-                jnp.asarray(
-                    [[cfg.min_guidance_scale, cfg.max_guidance_scale]], jnp.float32
-                ),
-                (image.shape[0], 1),
-            )
         return self._jitted[key](
             self.unet_params,
             self.controlnet_params,

@@ -17,7 +17,7 @@ resident on device. CFG runs as a doubled batch through the same UNet call.
 
 from __future__ import annotations
 
-
+import dataclasses
 from typing import Optional
 
 import jax
@@ -162,6 +162,25 @@ class VideoDiffusionPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         with_bbox = bbox_images is not None
         latent_out = output_type == "latent"
+        if guidance_minmax is None:
+            guidance_minmax = jnp.tile(
+                jnp.asarray(
+                    [[cfg.min_guidance_scale, cfg.max_guidance_scale]], jnp.float32
+                ),
+                (image.shape[0], 1),
+            )
+        # Guidance values flow through the runtime (B,2) array; only do_cfg
+        # is genuinely static. Canonicalize the floats so sweeping guidance
+        # pairs reuses one compiled sampler instead of recompiling per pair.
+        cfg = dataclasses.replace(
+            cfg,
+            min_guidance_scale=0.0,
+            max_guidance_scale=2.0 if cfg.do_cfg else 1.0,
+        )
+        if bbox_images is None:
+            # placeholder, never read by the with_bbox=False trace — avoids
+            # materializing a (B,F,H,W,3) zeros array per call
+            bbox_images = jnp.zeros((1,), jnp.float32)
         key = (cfg, with_bbox, latent_out, image.shape,
                None if not with_bbox else bbox_images.shape)
         if key not in self._jitted:
@@ -174,15 +193,6 @@ class VideoDiffusionPipeline:
                 self._jitted[key] = fn_meshed
             else:
                 self._jitted[key] = jax.jit(fn)
-        if bbox_images is None:
-            bbox_images = jnp.zeros((image.shape[0], cfg.num_frames) + image.shape[1:])
-        if guidance_minmax is None:
-            guidance_minmax = jnp.tile(
-                jnp.asarray(
-                    [[cfg.min_guidance_scale, cfg.max_guidance_scale]], jnp.float32
-                ),
-                (image.shape[0], 1),
-            )
         return self._jitted[key](
             self.unet_params,
             self.vae_params,

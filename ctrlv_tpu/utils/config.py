@@ -98,6 +98,9 @@ class Config:
     conditioning_scale: float = 1.0
     motion_bucket_id: int = 127
     decode_chunk_size: int = 8
+    # cap on frames per batched VAE-decode call (None = one batched call);
+    # bounds peak decode memory on tight-HBM chips — TPU extension
+    max_decode_frames: Optional[int] = None
 
     # --- checkpointing / eval ------------------------------------------
     checkpointing_steps: int = 500

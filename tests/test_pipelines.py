@@ -107,3 +107,35 @@ def test_overall_pipeline(bbox_pipe, ctrl_pipe):
     assert result["bbox_video"].shape == (F, H, W, 3)
     assert 0.0 <= result["miou"] <= 1.0
     assert len(result["best_guidance"]) == 2
+
+
+def test_guidance_sweep_reuses_compiled_sampler(bbox_pipe, ctrl_pipe):
+    """Guidance (min,max) pairs are runtime values: sweeping them must not
+    recompile the sampler (only do_cfg is static), and the per-pair results
+    must match what an explicit guidance_minmax array produces."""
+    image = jnp.zeros((1, H, W, 3))
+    a = bbox_pipe(image, rng=jax.random.PRNGKey(1), num_frames=F,
+                  num_inference_steps=2, min_guidance_scale=1.0,
+                  max_guidance_scale=3.0)
+    n1 = len(bbox_pipe._jitted)
+    b = bbox_pipe(image, rng=jax.random.PRNGKey(1), num_frames=F,
+                  num_inference_steps=2, min_guidance_scale=2.0,
+                  max_guidance_scale=5.0)
+    assert len(bbox_pipe._jitted) == n1  # no new entry for a new pair
+    via_array = bbox_pipe(
+        image, rng=jax.random.PRNGKey(1), num_frames=F, num_inference_steps=2,
+        guidance_minmax=jnp.asarray([[2.0, 5.0]], jnp.float32),
+        min_guidance_scale=1.0, max_guidance_scale=3.0,
+    )
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(via_array))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    cond = jnp.zeros((1, F, H, W, 3))
+    ctrl_pipe(image, cond, rng=jax.random.PRNGKey(2), num_frames=F,
+              num_inference_steps=2, min_guidance_scale=1.0,
+              max_guidance_scale=3.0)
+    m1 = len(ctrl_pipe._jitted)
+    ctrl_pipe(image, cond, rng=jax.random.PRNGKey(2), num_frames=F,
+              num_inference_steps=2, min_guidance_scale=1.5,
+              max_guidance_scale=4.0)
+    assert len(ctrl_pipe._jitted) == m1  # no new entry for a new pair

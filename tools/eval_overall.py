@@ -82,6 +82,7 @@ def main(cfg=None, max_samples=None):
             max_guidance_scale=cfg.max_guidance_scale,
             control_condition_scale=cfg.conditioning_scale,
             decode_chunk_size=cfg.decode_chunk_size,
+            max_decode_frames=cfg.max_decode_frames,
         )
         for k in ("miou", "ap", "ar", "miou_first_last", "ap_first_last", "ar_first_last"):
             scores[k].append(result[k])
