@@ -186,15 +186,18 @@ class StableVideoControlPipeline:
         )
         key = (cfg, cond_is_latent, latent_out, image.shape, cond_images.shape)
         if key not in self._jitted:
+            from ..utils.compile_options import get_compiler_options
+
+            copts = get_compiler_options()
             fn = self._sample_fn(cfg, cond_is_latent, output_latents=latent_out)
             if self.mesh is not None:
-                base = jax.jit(fn)
+                base = jax.jit(fn, compiler_options=copts)
                 def fn_meshed(*args, _base=base):
                     with jax.set_mesh(self.mesh):
                         return _base(*args)
                 self._jitted[key] = fn_meshed
             else:
-                self._jitted[key] = jax.jit(fn)
+                self._jitted[key] = jax.jit(fn, compiler_options=copts)
         return self._jitted[key](
             self.unet_params,
             self.controlnet_params,

@@ -184,15 +184,18 @@ class VideoDiffusionPipeline:
         key = (cfg, with_bbox, latent_out, image.shape,
                None if not with_bbox else bbox_images.shape)
         if key not in self._jitted:
+            from ..utils.compile_options import get_compiler_options
+
+            copts = get_compiler_options()
             fn = self._sample_fn(cfg, with_bbox, output_latents=latent_out)
             if self.mesh is not None:
-                base = jax.jit(fn)
+                base = jax.jit(fn, compiler_options=copts)
                 def fn_meshed(*args, _base=base):
                     with jax.set_mesh(self.mesh):
                         return _base(*args)
                 self._jitted[key] = fn_meshed
             else:
-                self._jitted[key] = jax.jit(fn)
+                self._jitted[key] = jax.jit(fn, compiler_options=copts)
         return self._jitted[key](
             self.unet_params,
             self.vae_params,

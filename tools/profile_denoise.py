@@ -141,9 +141,14 @@ def main():
         from ctrlv_tpu.ops.resblock import set_fused_resblock
 
         set_fused_resblock(True)
-    from ctrlv_tpu.ops.mha import set_small_bd_attention
+    from ctrlv_tpu.ops.mha import preflight_small_bd, set_small_bd_attention
 
-    set_small_bd_attention(args.small_bd == "on")
+    if args.small_bd == "on":
+        # Keeps the default but routes off if this toolchain's Mosaic
+        # rejects the head-packed kernel (bench.py does the same).
+        preflight_small_bd()
+    else:
+        set_small_bd_attention(False)
 
     step, sargs = build_step()
     t0 = time.time()
