@@ -15,15 +15,35 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
+
+# Proved out by tools/sweep_compiler_options.py on TPU v5e (see PERF.md
+# round-3 sweep table): raising the scoped-VMEM budget to 32 MiB is worth
+# ~2% on the denoise step (456.0 vs 465.2 ms/step; 64/96 MiB regress to
+# 472/477). Applied only on TPU backends; explicit set_compiler_options()
+# always wins.
+_TPU_DEFAULTS: Dict[str, str] = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+
 _OPTIONS: Dict[str, str] = {}
+_EXPLICIT = False
 
 
 def set_compiler_options(options: Optional[Dict[str, str]]) -> None:
     """Replace the sampler compiler options (None or {} -> XLA defaults)."""
-    global _OPTIONS
+    global _OPTIONS, _EXPLICIT
     _OPTIONS = dict(options or {})
+    _EXPLICIT = True
 
 
 def get_compiler_options() -> Optional[Dict[str, str]]:
-    """Options dict for jax.jit(..., compiler_options=...); None if unset."""
-    return dict(_OPTIONS) if _OPTIONS else None
+    """Options dict for jax.jit(..., compiler_options=...); None if unset.
+
+    Without an explicit set_compiler_options() call, TPU backends get the
+    sweep-proven _TPU_DEFAULTS; CPU/interpret runs keep XLA defaults (the
+    TPU flags are meaningless there and some backends reject unknowns).
+    """
+    if _EXPLICIT:
+        return dict(_OPTIONS) if _OPTIONS else None
+    if jax.default_backend() == "tpu":
+        return dict(_TPU_DEFAULTS)
+    return None
