@@ -27,10 +27,6 @@ H, W = 320, 512
 
 
 def main():
-    from ctrlv_tpu.ops.mha import preflight_small_bd
-
-    if not preflight_small_bd():
-        print("# head-packed temporal attention routed off (preflight)")
     from ctrlv_tpu.models import (
         AutoencoderKLTemporalDecoder,
         CLIPVisionConfig,

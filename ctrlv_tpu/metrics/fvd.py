@@ -16,6 +16,7 @@ Behavioral parity: /root/reference/src/ctrlv/metrics/fvd.py —
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -193,15 +194,28 @@ def preprocess_fvd(videos: jnp.ndarray, target: int = 224) -> jnp.ndarray:
     return jnp.clip(videos * 2.0 - 1.0, -1.0, 1.0)
 
 
-def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
-    """FD between Gaussians fit to two feature sets (N, D)."""
+def frechet_distance(
+    feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
+) -> float:
+    """FD between Gaussians fit to two feature sets (N, D).
+
+    When N < D (common in small-sample evals) the covariances are singular
+    and a bare sqrtm(sig_a @ sig_b) emits LinAlgWarnings / NaNs; like the
+    standard FID/FVD implementations we retry with an eps*I jitter on each
+    covariance when the product is not finite-PSD enough to sqrtm cleanly.
+    """
     from scipy import linalg
 
     mu_a, mu_b = feats_a.mean(axis=0), feats_b.mean(axis=0)
     sig_a = np.cov(feats_a, rowvar=False)
     sig_b = np.cov(feats_b, rowvar=False)
     diff = mu_a - mu_b
-    covmean, _ = linalg.sqrtm(sig_a @ sig_b, disp=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the retry below handles failure
+        covmean, _ = linalg.sqrtm(sig_a @ sig_b, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sig_a.shape[0]) * eps
+        covmean, _ = linalg.sqrtm((sig_a + offset) @ (sig_b + offset), disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sig_a) + np.trace(sig_b) - 2 * np.trace(covmean))

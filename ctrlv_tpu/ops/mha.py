@@ -198,63 +198,6 @@ def small_mha_supported(n: int, sq: int, sk: int, hd: int, heads: int, itemsize:
     )
 
 
-def _small_bd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
-    """Head-packed temporal attention: one MXU pass for ALL heads.
-
-    The per-head form issues heads × nb tiny (F, d)@(d, F) matmuls per
-    program — at F=25 each pads to a fraction of an MXU tile and the
-    batched-dot lowering loops them sequentially, so the kernel runs ~6×
-    off its memory floor (3.17 ms/instance at (5120, 25, 320), trace
-    2026-08-17). Packing the heads' (F, d) Q/K/V rows into one
-    (heads*F, d) tile turns the 2*heads batched dots into 2 per batch
-    element at MXU-friendly row counts (125/250/500 -> pad 128/256/512),
-    computing the (heads*F)^2 block-diagonal score matrix in one shot.
-    Cross-head blocks are garbage; they are masked to -inf BEFORE the
-    softmax (so each row's max/sum sees only its own head's F columns)
-    and contribute exact zeros to the AV matmul. Padding waste is ~5x
-    on the score FLOPs but those are ~0.1 ms at peak — this shape is
-    bandwidth-bound, not FLOP-bound.
-    """
-    q = q_ref[:]  # (nb, F, H*D)
-    k = k_ref[:]
-    v = v_ref[:]
-    nb, f, hd = q.shape
-    d = hd // heads
-    rows = heads * f
-
-    def stack_heads(x):  # (nb, F, H*D) -> (nb, H*F, D), head-major rows
-        return jnp.concatenate(
-            [x[:, :, h * d : (h + 1) * d] for h in range(heads)], axis=1
-        )
-
-    q_bd = stack_heads(q)
-    k_bd = stack_heads(k)
-    v_bd = stack_heads(v)
-
-    logits = jax.lax.dot_general(
-        q_bd,
-        k_bd,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (nb, H*F, H*F)
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // f
-    col_h = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // f
-    logits = jnp.where((row_h == col_h)[None], logits, -1e30)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
-    o_bd = jax.lax.dot_general(
-        w,
-        v_bd,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (nb, H*F, D)
-    for h in range(heads):
-        o_ref[:, :, h * d : (h + 1) * d] = o_bd[:, h * f : (h + 1) * f, :].astype(
-            o_ref.dtype
-        )
-
-
 def _small_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
     q = q_ref[:]  # (nb, F, H*D)
     k = k_ref[:]
@@ -280,64 +223,19 @@ def _small_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
         ).astype(o_ref.dtype)
 
 
-# Head-packed (block-diagonal) small-attention routing. Default ON where it
-# fits; set_small_bd_attention(False) restores the per-head loop for A/B.
-_SMALL_BD = True
-# Per-program f32 logits budget for the packed kernel: nb * (H*F)^2 * 4 B
-# (one live score tile + the exp tile Mosaic fuses in place).
-_BD_LOGITS_BYTES = 2 * 1024 * 1024
-
-
-def set_small_bd_attention(on: bool) -> None:
-    global _SMALL_BD
-    _SMALL_BD = bool(on)
-
-
-def preflight_small_bd() -> bool:
-    """Compile the head-packed kernel once in isolation on this backend.
-
-    Routes back to the per-head kernel (and returns False) if Mosaic
-    rejects it, so large downstream programs (bench monolith, the driver's
-    entry() compile check) don't fail on an unproven kernel variant. The
-    (64, 25, 320) shape picks the same nb=32 block config the flagship
-    temporal sites use.
-    """
-    if not _SMALL_BD:
-        return False
-    try:
-        x = jnp.zeros((64, 25, 320), jnp.bfloat16)
-        out = jax.jit(lambda a: small_mha_attention(a, a, a, 5, 0.125))(x)
-        jax.block_until_ready(out)
-        return True
-    except Exception:  # pragma: no cover - hardware-dependent
-        set_small_bd_attention(False)
-        return False
-
-
-def _pick_block_n_bd(n: int, f: int, hd: int, heads: int, itemsize: int) -> int:
-    rows = heads * f
-    if rows > 512:
-        return 0
-    pad_rows = -(-rows // 128) * 128
-    for cand in (64, 32, 16, 8, 4, 2):
-        if (
-            n % cand == 0
-            and cand * f * hd * itemsize <= _SMALL_BLOCK_BYTES
-            and cand * pad_rows * pad_rows * 4 <= _BD_LOGITS_BYTES
-        ):
-            return cand
-    return 0
+# NOTE(r4): a head-packed (block-diagonal) variant that computed all heads
+# in one MXU pass was built and measured in r3 (commit 1f0a0b0) and DELETED
+# in r4: Mosaic on the real v5e toolchain rejects its lane->row concat, a
+# batch-packed reformulation compiled but measured slower, and the whole
+# temporal pool is <20 ms of the 457 ms step (~2% ceiling). PERF.md
+# "head-packed temporal attention — CLOSED" holds the evidence.
 
 
 def _small_forward(q3, k3, v3, heads, scale):
     n, f, hd = q3.shape
     interpret = jax.default_backend() != "tpu"
-    nb_bd = _pick_block_n_bd(n, f, hd, heads, q3.dtype.itemsize) if _SMALL_BD else 0
-    if nb_bd:
-        kernel, nb = functools.partial(_small_bd_kernel, heads=heads, scale=scale), nb_bd
-    else:
-        kernel = functools.partial(_small_kernel, heads=heads, scale=scale)
-        nb = _pick_block_n(n, f, hd, q3.dtype.itemsize)
+    kernel = functools.partial(_small_kernel, heads=heads, scale=scale)
+    nb = _pick_block_n(n, f, hd, q3.dtype.itemsize)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, f, hd), q3.dtype),

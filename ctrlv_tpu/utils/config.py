@@ -107,6 +107,11 @@ class Config:
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None
     validation_steps: int = 500
+    # validation_prompt / num_validation_images exist only as commented-out
+    # dead code in the reference (parser.py:192-203; validation_steps' help
+    # text still references them) — carried for flag-surface parity.
+    validation_prompt: Optional[str] = None
+    num_validation_images: int = 4
     num_demo_samples: int = 4
     evaluate_only: bool = False
     eval_dir: Optional[str] = None

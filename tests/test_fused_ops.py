@@ -75,44 +75,6 @@ def test_small_mha_matches_xla(dtype, atol):
     )
 
 
-@pytest.mark.parametrize(
-    "n,f,hd,heads",
-    [
-        (512, 25, 320, 5),  # full-res temporal level (nb 32)
-        (256, 25, 640, 10),  # mid level (nb 8)
-        (320, 25, 1280, 20),  # bottleneck (rows pad to 512, nb 2)
-        (512, 14, 320, 5),  # 14-frame SVD config
-    ],
-)
-def test_small_mha_head_packed_matches_per_head(n, f, hd, heads):
-    """The block-diagonal head-packed kernel == per-head loop == XLA."""
-    from ctrlv_tpu.ops.mha import _pick_block_n_bd, set_small_bd_attention
-
-    q, k, v = _qkv(n, f, hd, jnp.bfloat16)
-    scale = (hd // heads) ** -0.5
-    assert _pick_block_n_bd(n, f, hd, heads, 2) > 0
-    try:
-        o_bd = small_mha_attention(q, k, v, heads, scale)
-        set_small_bd_attention(False)
-        o_loop = small_mha_attention(q, k, v, heads, scale)
-    finally:
-        set_small_bd_attention(True)
-    r = _xla_mha(q, k, v, heads, scale)
-    np.testing.assert_allclose(
-        np.asarray(o_bd, np.float32), np.asarray(r, np.float32), atol=6e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(o_loop, np.float32), np.asarray(r, np.float32), atol=6e-3
-    )
-
-
-def test_small_mha_head_packed_rejects_oversized_rows():
-    from ctrlv_tpu.ops.mha import _pick_block_n_bd
-
-    # heads*F > 512 rows: block-diag scores would not fit — no bd block.
-    assert _pick_block_n_bd(512, 32, 2048, 32, 2) == 0
-
-
 def test_mha_grads_match_xla():
     q, k, v = _qkv(1, 256, 128, jnp.float32)
     # force the kernel path (sq>=1024 gate bypassed by calling directly)

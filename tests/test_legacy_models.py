@@ -136,6 +136,25 @@ def test_fvd_math():
     assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
 
 
+def test_fvd_small_sample_singular_covariance():
+    """N < D makes cov singular; the eps*I retry must keep FD finite and
+    warning-free (reference small-N evals hit exactly this: fvd.py:179-185
+    with SAMPLES below the 400-d feature dim)."""
+    import warnings
+
+    from ctrlv_tpu.metrics.fvd import frechet_distance
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((6, 32))  # rank 5 << 32 dims
+    b = rng.standard_normal((6, 32)) + 2.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        d_same = frechet_distance(a, a.copy())
+        d_diff = frechet_distance(a, b)
+    assert np.isfinite(d_same) and np.isfinite(d_diff)
+    assert d_diff > d_same
+
+
 @pytest.mark.slow
 @pytest.mark.heavy
 def test_fvd_i3d_forward():

@@ -125,12 +125,6 @@ def main():
         "--attention_impl", default="auto", choices=["auto", "xla", "pallas"]
     )
     ap.add_argument("--fused_resblock", action="store_true")
-    ap.add_argument(
-        "--small_bd",
-        default="on",
-        choices=["on", "off"],
-        help="head-packed (block-diagonal) temporal attention kernel",
-    )
     args = ap.parse_args()
 
     if args.attention_impl != "auto":
@@ -141,14 +135,6 @@ def main():
         from ctrlv_tpu.ops.resblock import set_fused_resblock
 
         set_fused_resblock(True)
-    from ctrlv_tpu.ops.mha import preflight_small_bd, set_small_bd_attention
-
-    if args.small_bd == "on":
-        # Keeps the default but routes off if this toolchain's Mosaic
-        # rejects the head-packed kernel (bench.py does the same).
-        preflight_small_bd()
-    else:
-        set_small_bd_attention(False)
 
     step, sargs = build_step()
     t0 = time.time()

@@ -49,12 +49,6 @@ VARIANTS = [
 
 
 def time_variant(name, opts, steps):
-    # Route the head-packed temporal kernel off if this toolchain's Mosaic
-    # rejects it (same preflight bench.py runs) — otherwise every variant
-    # dies in the remote compile helper before timing anything.
-    from ctrlv_tpu.ops.mha import preflight_small_bd
-
-    preflight_small_bd()
     step, sargs = build_step()
     fn = jax.jit(getattr(step, "__wrapped__", step), compiler_options=opts or None)
     t0 = time.time()
