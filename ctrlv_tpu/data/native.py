@@ -49,6 +49,11 @@ def load_native(build: bool = True) -> Optional[ctypes.CDLL]:
         f32, ctypes.c_int, ctypes.c_int, f32, u8, f32, f32,
         ctypes.c_int, ctypes.c_float, ctypes.c_float,
     ]
+    lib.rasterize_frame_3dstyle_native.argtypes = [
+        f32, ctypes.c_int, ctypes.c_int, f32, u8, f32, f32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float,
+    ]
     _LIB = lib
     return lib
 
@@ -88,6 +93,49 @@ def rasterize_frame_native(
         _fptr(np.ascontiguousarray(type_color, np.float32)),
         _fptr(np.ascontiguousarray(track_color, np.float32)),
         n, int(plot_2d_bbox), float(alpha_2dbbox),
+    )
+    return img
+
+
+def rasterize_frame_3dstyle_native(
+    corners: np.ndarray,  # (N, 8, 2) canvas coords
+    valid: np.ndarray,  # (N,) bool
+    outline_color: np.ndarray,  # (N, 3)
+    fill_color: np.ndarray,  # (N, 3)
+    height: int,
+    width: int,
+    show_3d: bool = False,
+    show_2d: bool = True,
+    alpha: float = 0.75,
+    background: Optional[np.ndarray] = None,
+    hw2: Optional[float] = None,
+    hw1: Optional[float] = None,
+) -> np.ndarray:
+    """nuScenes my_render_3d_style frame via the C++ rasterizer.
+
+    Semantics documented at ops/rasterize.py::rasterize_frame_3dstyle_np
+    (bit-matched in tests/test_nuscenes_render_parity.py)."""
+    from ..ops.rasterize import _HW_3DSTYLE_1, _HW_3DSTYLE_2
+
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native rasterizer unavailable (g++/make missing?)")
+    img = (
+        np.ascontiguousarray(background, np.float32).copy()
+        if background is not None
+        else np.zeros((height, width, 3), np.float32)
+    )
+    lib.rasterize_frame_3dstyle_native(
+        _fptr(img), height, width,
+        _fptr(np.ascontiguousarray(corners, np.float32)),
+        np.ascontiguousarray(valid, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        ),
+        _fptr(np.ascontiguousarray(outline_color, np.float32)),
+        _fptr(np.ascontiguousarray(fill_color, np.float32)),
+        corners.shape[0], int(show_3d), int(show_2d), float(alpha),
+        float(_HW_3DSTYLE_2 if hw2 is None else hw2),
+        float(_HW_3DSTYLE_1 if hw1 is None else hw1),
     )
     return img
 

@@ -123,6 +123,32 @@ def post_process_coords(
     return float(min_x), float(min_y), float(max_x), float(max_y)
 
 
+def box_in_image(
+    corners_3d: np.ndarray,
+    intrinsic: np.ndarray,
+    imsize: tuple = (1600, 900),
+    vis_level: str = "any",
+) -> bool:
+    """Devkit-semantics visibility test (geometry_utils.box_in_image) used by
+    the reference renderer at vis_level=1 == BoxVisibility.ANY
+    (nuscenes_.py:121): a corner counts as visible when its projection lands
+    strictly inside the canvas AND it sits more than 1 m in front of the
+    camera; the box additionally needs ALL corners >0.1 m in front."""
+    corners_3d = np.asarray(corners_3d, dtype=np.float64)
+    pts = view_points(corners_3d, np.asarray(intrinsic))
+    visible = (
+        (pts[0] > 0)
+        & (pts[0] < imsize[0])
+        & (pts[1] > 0)
+        & (pts[1] < imsize[1])
+        & (corners_3d[2] > 1.0)
+    )
+    in_front = corners_3d[2] > 0.1
+    if vis_level == "all":
+        return bool(visible.all() and in_front.all())
+    return bool(visible.any() and in_front.all())
+
+
 def project_box_to_2d(
     corners_3d: np.ndarray, intrinsic: np.ndarray, imsize: tuple = (1600, 900)
 ) -> Optional[tuple]:
@@ -202,6 +228,10 @@ class NuScenesDataset(VideoDataset):
     target_fps: float = 7.0
     max_boxes: int = 30
     test_split: bool = False
+    # reference nuscenes_.py:233 `if_3d` (default False): False renders the
+    # conditioning frames as alpha-0.75 filled rects with a lw-2 type-color
+    # edge; True adds opaque 3D wireframes (and drops the rect edge)
+    if_3d: bool = False
 
     def __post_init__(self):
         self.orig_H, self.orig_W = 900, 1600
@@ -347,9 +377,113 @@ class NuScenesDataset(VideoDataset):
         return labels
 
     def get_bbox_image_file_by_index(self, index=None, image_file=None):
-        if self.bbox_dir is None or image_file is None:
+        """Reference cache naming (nuscenes_.py:356): bbox_dir/{token}.png
+        (token-based, NOT image-basename like the KITTI family)."""
+        if self.bbox_dir is None or index is None:
             return None
-        return os.path.join(self.bbox_dir, os.path.basename(image_file))
+        return os.path.join(self.bbox_dir, f"{self._token_at(index, 0)}.png")
+
+    # ------------------------------------------------------------------
+    # native conditioning-frame renderer (reference my_render_3d_style,
+    # nuscenes_.py:91-156 / cached at :354-384)
+    def _render_arrays(self, token: str):
+        """One frame's render inputs: projected corners (scaled to the train
+        canvas), validity, outline (type) and fill (track) colors."""
+        from ..ops.rasterize import TYPE_COLORS, track_color
+        from .nuscenes_tables import Quaternion
+
+        sd = self.nusc.get("sample_data", token)
+        sensor = self.nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        intrinsic = np.asarray(sensor["camera_intrinsic"], dtype=np.float64)
+        ego_pose = self.nusc.get("ego_pose", sd["ego_pose_token"])
+
+        corners_list, outline, fill = [], [], []
+        type_colors = np.asarray(TYPE_COLORS)
+        for box in self.nusc.get_boxes(token):
+            # global -> ego -> camera (my_render_3d_style transform=True)
+            box.translate(-np.asarray(ego_pose["translation"]))
+            box.rotate(Quaternion(ego_pose["rotation"]).inverse)
+            box.translate(-np.asarray(sensor["translation"]))
+            box.rotate(Quaternion(sensor["rotation"]).inverse)
+            c3d = box.corners()
+            # the renderer draws EVERY visible box (no class filtering,
+            # unlike the label path) at BoxVisibility.ANY
+            if not box_in_image(c3d, intrinsic, (self.orig_W, self.orig_H)):
+                continue
+            pts = view_points(c3d, intrinsic)[:2].T  # (8, 2) image coords
+            sx = self.train_W / self.orig_W
+            sy = self.train_H / self.orig_H
+            corners_list.append(pts * np.asarray([sx, sy]))
+            group = NUSC_CLASS_TO_GROUP_IDS.get(box.name, 1)
+            # REVERT_CHANNEL_F: the nuScenes path flips the palette channels
+            outline.append(type_colors[group][::-1])
+            instance_token = self.nusc.get("sample_annotation", box.token)[
+                "instance_token"
+            ]
+            if instance_token not in self.TRACKID_LOOKUP:
+                self.TRACKID_LOOKUP[instance_token] = len(self.TRACKID_LOOKUP)
+            fill.append(
+                np.asarray(
+                    track_color(
+                        np.asarray(self.TRACKID_LOOKUP[instance_token])
+                    ),
+                    np.float32,
+                )
+            )
+        n = len(corners_list)
+        if n == 0:
+            return (
+                np.zeros((0, 8, 2), np.float32),
+                np.zeros((0,), bool),
+                np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.float32),
+            )
+        return (
+            np.asarray(corners_list, np.float32),
+            np.ones((n,), bool),
+            np.asarray(outline, np.float32),
+            np.asarray(fill, np.float32),
+        )
+
+    def render_nusc_bbox_frame(self, token: str) -> np.ndarray:
+        """Native my_render_3d_style equivalent -> (H, W, 3) in [0,1].
+
+        Host path prefers the C++ rasterizer; falls back to numpy. Both are
+        bit-matched (tests/test_nuscenes_render_parity.py)."""
+        corners, valid, outline, fill = self._render_arrays(token)
+        from .native import load_native, rasterize_frame_3dstyle_native
+
+        if load_native() is not None:
+            return rasterize_frame_3dstyle_native(
+                corners, valid, outline, fill,
+                height=self.train_H, width=self.train_W,
+                show_3d=self.if_3d, show_2d=True,
+            )
+        from ..ops.rasterize import rasterize_frame_3dstyle_np
+
+        return rasterize_frame_3dstyle_np(
+            corners, valid, outline, fill,
+            height=self.train_H, width=self.train_W,
+            show_3d=self.if_3d, show_2d=True,
+        )
+
+    def load_bbox_frame(self, index, offset, labels, calib) -> np.ndarray:
+        """Reference caching semantics (nuscenes_.py:354-384): look up
+        `bbox_dir/{token}.png`, render + write it on miss, then apply the
+        train transform. Without a bbox_dir, render in-memory."""
+        token = self._token_at(index, offset)
+        if self.bbox_dir is not None:
+            path = os.path.join(self.bbox_dir, f"{token}.png")
+            if not os.path.exists(path):
+                os.makedirs(self.bbox_dir, exist_ok=True)
+                frame = self.render_nusc_bbox_frame(token)
+                from PIL import Image
+
+                Image.fromarray(
+                    (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
+                ).save(path)
+            return self.load_image(path)
+        return self.to_tensor(self.render_nusc_bbox_frame(token))
 
     def get_prompt(self, index):
         return "This is a real-world driving scene."

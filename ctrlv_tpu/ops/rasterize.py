@@ -52,7 +52,11 @@ def track_color(track_id) -> jnp.ndarray:
     """
     is_np = isinstance(track_id, np.ndarray)
     xp = np if is_np else jnp
+    # 0-dim inputs hit numpy's scalar-overflow warning on the (intentional)
+    # uint32 wraparound below; keep the hash over >=1-dim arrays
     x = xp.asarray(track_id).astype(np.uint32 if is_np else jnp.uint32)
+    squeeze = x.ndim == 0
+    x = xp.atleast_1d(x)
     colors = []
     for salt in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35):
         h = (x + np.uint32(salt)) * np.uint32(0x27D4EB2F)
@@ -60,6 +64,8 @@ def track_color(track_id) -> jnp.ndarray:
         h = h * np.uint32(0x165667B1)
         h = h ^ (h >> 13)
         colors.append(50.0 + (h % 206).astype(np.float32 if is_np else jnp.float32))
+    if squeeze:
+        colors = [c[0] for c in colors]
     # reference flips channel order for track colors (REVERT_CHANNEL_F)
     return xp.stack(colors[::-1], axis=-1) / 255.0
 
@@ -261,6 +267,212 @@ def rasterize_trajectory_frame(
     out = paint(outer, trk_color, base)
     out = paint(inner, type_color, out)
     return out
+
+
+# --------------------------------------------------------------------------
+# nuScenes "3d style" renderer (matplotlib-parity).
+#
+# The reference renders nuScenes conditioning frames with matplotlib
+# (my_render_3d_style, /root/reference/src/ctrlv/datasets/nuscenes_.py:91-156,
+# used at :354-384): per box an axis-aligned Rectangle patch over the min/max
+# of the 8 projected corners (facecolor = track color, alpha 0.75, and — when
+# 3D wireframes are OFF — a linewidth-2 edge in the type color, alpha 0.75
+# too), plus, when `if_3d`, opaque type-color wireframes: 4 side lines, front
+# and rear rings (lw 2) and a rear-face 4-6-5-7 polyline (lw 1). Matplotlib
+# zorder puts ALL lines above ALL patches, patches composite sequentially in
+# box order, and the figure pipeline (default fig, imshow 1600x900, tight
+# crop -> ~610x343 png -> dataset resize) is geometrically equivalent to
+# drawing straight at the train size with coords scaled by
+# (train_W/1600, train_H/900). Drift vs the real matplotlib oracle is
+# characterized in tests/test_nuscenes_render_parity.py (mask-IoU fit, same
+# protocol as the cv2 fit in tests/test_rasterize_cv2_parity.py).
+
+# nuScenes corner convention (Box.corners(): first 4 = front face).
+_NUSC_SIDE_EDGES = tuple((i, i + 4) for i in range(4))
+_NUSC_RING_EDGES = tuple((i, (i + 1) % 4) for i in range(4)) + tuple(
+    (4 + i, 4 + (i + 1) % 4) for i in range(4)
+)
+_NUSC_X_EDGES = ((4, 6), (6, 5), (5, 7))  # lw-1 polyline at the rear face
+
+# Band half-widths at the final raster, fitted against the matplotlib oracle
+# (lw=2 renders ~3 px above-threshold at the 610-wide tight crop, ~2.5 px
+# after the resize to 512; lw=1 ~1 px).
+_HW_3DSTYLE_2 = 1.2
+_HW_3DSTYLE_1 = 0.5
+
+
+def _np_segment_cover(px, py, p0, p1, half_width):
+    d = p1 - p0
+    len2 = max(float(d[0]) ** 2 + float(d[1]) ** 2, 1e-8)
+    t = np.clip(((px - p0[0]) * d[0] + (py - p0[1]) * d[1]) / len2, 0.0, 1.0)
+    qx = p0[0] + t * d[0]
+    qy = p0[1] + t * d[1]
+    return (px - qx) ** 2 + (py - qy) ** 2 <= half_width**2
+
+
+def rasterize_frame_3dstyle_np(
+    corners: np.ndarray,  # (N, 8, 2) projected corners, canvas coords
+    valid: np.ndarray,  # (N,) bool
+    outline_color: np.ndarray,  # (N, 3) type colors (channel-reverted)
+    fill_color: np.ndarray,  # (N, 3) track colors
+    height: int,
+    width: int,
+    show_3d: bool = False,
+    show_2d: bool = True,
+    alpha: float = 0.75,
+    background: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Host (numpy) nuScenes-style frame, (H, W, 3) in [0,1]."""
+    alpha = np.float32(alpha)  # keep all compositing in f32 (bit parity
+    # with the C++ and XLA backends; f64 promotion drifts the last ulp)
+    outline_color = np.asarray(outline_color, np.float32)
+    fill_color = np.asarray(fill_color, np.float32)
+    ys = np.arange(height, dtype=np.float32)[:, None]
+    xs = np.arange(width, dtype=np.float32)[None, :]
+    py = np.broadcast_to(ys, (height, width))
+    px = np.broadcast_to(xs, (height, width))
+    img = (
+        np.array(background, np.float32, copy=True)
+        if background is not None
+        else np.zeros((height, width, 3), np.float32)
+    )
+    corners = np.asarray(corners, np.float32)
+    n = corners.shape[0]
+
+    def rect_corners(c8):
+        x1, y1 = c8.min(axis=0)
+        x2, y2 = c8.max(axis=0)
+        return x1, y1, x2, y2
+
+    # pass 1: patches (sequential alpha compositing, matplotlib zorder 1)
+    if show_2d:
+        for i in range(n):
+            if not valid[i]:
+                continue
+            x1, y1, x2, y2 = rect_corners(corners[i])
+            face = (px >= x1) & (px <= x2) & (py >= y1) & (py <= y2)
+            img = np.where(
+                face[..., None], alpha * fill_color[i] + (1 - alpha) * img, img
+            )
+            if not show_3d:
+                # the patch edge (lw 2, type color) strokes OVER the fill,
+                # itself at alpha 0.75
+                q = [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+                edge = np.zeros((height, width), bool)
+                for a in range(4):
+                    edge |= _np_segment_cover(
+                        px, py, np.asarray(q[a]), np.asarray(q[(a + 1) % 4]),
+                        _HW_3DSTYLE_2,
+                    )
+                img = np.where(
+                    edge[..., None],
+                    alpha * outline_color[i] + (1 - alpha) * img,
+                    img,
+                )
+
+    # pass 2: opaque wireframes (zorder 2 — above every patch)
+    if show_3d:
+        for i in range(n):
+            if not valid[i]:
+                continue
+            cover = np.zeros((height, width), bool)
+            for a, b in _NUSC_SIDE_EDGES + _NUSC_RING_EDGES:
+                cover |= _np_segment_cover(
+                    px, py, corners[i, a], corners[i, b], _HW_3DSTYLE_2
+                )
+            for a, b in _NUSC_X_EDGES:
+                cover |= _np_segment_cover(
+                    px, py, corners[i, a], corners[i, b], _HW_3DSTYLE_1
+                )
+            img = np.where(cover[..., None], outline_color[i], img)
+    return img
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "show_3d", "show_2d")
+)
+def rasterize_frame_3dstyle(
+    corners: jnp.ndarray,  # (N, 8, 2)
+    valid: jnp.ndarray,  # (N,)
+    outline_color: jnp.ndarray,  # (N, 3)
+    fill_color: jnp.ndarray,  # (N, 3)
+    background: Optional[jnp.ndarray] = None,
+    height: int = 320,
+    width: int = 512,
+    show_3d: bool = False,
+    show_2d: bool = True,
+    alpha: float = 0.75,
+) -> jnp.ndarray:
+    """Device (XLA) twin of rasterize_frame_3dstyle_np — jit/vmap-able so
+    nuScenes conditioning clips can render in the input pipeline on device.
+    Bit-matched against the numpy path in tests."""
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    py = jnp.broadcast_to(ys, (height, width))
+    px = jnp.broadcast_to(xs, (height, width))
+    base = (
+        background
+        if background is not None
+        else jnp.zeros((height, width, 3), jnp.float32)
+    )
+    corners = corners.astype(jnp.float32)
+    validf = valid.astype(jnp.float32)[:, None, None, None]
+
+    def seg(p0, p1, hw):
+        return _segment_coverage(px, py, p0, p1, hw)
+
+    img = base
+    if show_2d:
+
+        def patch_body(img, xs_):
+            c8, fcol, ocol, v = xs_
+            x1, y1 = c8.min(axis=0)
+            x2, y2 = c8.max(axis=0)
+            face = (px >= x1) & (px <= x2) & (py >= y1) & (py <= y2)
+            face &= v > 0.5
+            img = jnp.where(
+                face[..., None], alpha * fcol + (1 - alpha) * img, img
+            )
+            if not show_3d:
+                q = jnp.stack(
+                    [
+                        jnp.stack([x1, y1]),
+                        jnp.stack([x2, y1]),
+                        jnp.stack([x2, y2]),
+                        jnp.stack([x1, y2]),
+                    ]
+                )
+                edge = jnp.zeros((height, width), bool)
+                for a in range(4):
+                    edge |= seg(q[a], q[(a + 1) % 4], _HW_3DSTYLE_2)
+                edge &= v > 0.5
+                img = jnp.where(
+                    edge[..., None], alpha * ocol + (1 - alpha) * img, img
+                )
+            return img, None
+
+        img, _ = jax.lax.scan(
+            patch_body, img, (corners, fill_color, outline_color, validf[:, 0, 0, 0])
+        )
+
+    if show_3d:
+
+        def line_cover(c8):
+            cover = jnp.zeros((height, width), bool)
+            for a, b in _NUSC_SIDE_EDGES + _NUSC_RING_EDGES:
+                cover |= seg(c8[a], c8[b], _HW_3DSTYLE_2)
+            for a, b in _NUSC_X_EDGES:
+                cover |= seg(c8[a], c8[b], _HW_3DSTYLE_1)
+            return cover
+
+        cover = jax.vmap(line_cover)(corners) & (validf[..., 0] > 0.5)
+        # sequential opaque paint == last-object-wins select
+        obj_rank = jnp.arange(1, corners.shape[0] + 1, dtype=jnp.int32)[:, None, None]
+        ranked = jnp.where(cover, obj_rank, 0)
+        winner = jnp.argmax(ranked, axis=0)
+        any_cover = jnp.any(cover, axis=0)
+        img = jnp.where(any_cover[..., None], outline_color[winner], img)
+    return img
 
 
 def rasterize_clip(

@@ -119,6 +119,93 @@ void rasterize_frame_native(float* img, int H, int W, const float* corners,
     }
 }
 
+// nuScenes "3d style" frame (matplotlib-parity; see ops/rasterize.py
+// rasterize_frame_3dstyle_np for the semantics and the reference citation).
+// Sequential alpha-0.75 patch compositing (face, then — in 2D mode — a lw-2
+// edge band in the outline color), then opaque wireframes above all patches.
+// corners: N*8*2 canvas coords; colors: N*3.
+void rasterize_frame_3dstyle_native(float* img, int H, int W,
+                                    const float* corners,
+                                    const uint8_t* valid,
+                                    const float* outline_color,
+                                    const float* fill_color, int N,
+                                    int show_3d, int show_2d, float alpha,
+                                    float hw2, float hw1) {
+    // pass 1: patches, in box order
+    if (show_2d) {
+        for (int n = 0; n < N; ++n) {
+            if (!valid[n]) continue;
+            const float* c8 = corners + n * 16;
+            float x1 = c8[0], y1 = c8[1], x2 = c8[0], y2 = c8[1];
+            for (int k = 1; k < 8; ++k) {
+                x1 = std::min(x1, c8[k * 2]);
+                x2 = std::max(x2, c8[k * 2]);
+                y1 = std::min(y1, c8[k * 2 + 1]);
+                y2 = std::max(y2, c8[k * 2 + 1]);
+            }
+            const float* fcol = fill_color + n * 3;
+            // face: pixel centers inside [x1,x2]x[y1,y2]
+            const int fx1 = std::max(0, static_cast<int>(std::ceil(x1)));
+            const int fx2 = std::min(W - 1, static_cast<int>(std::floor(x2)));
+            const int fy1 = std::max(0, static_cast<int>(std::ceil(y1)));
+            const int fy2 = std::min(H - 1, static_cast<int>(std::floor(y2)));
+            for (int y = fy1; y <= fy2; ++y)
+                for (int x = fx1; x <= fx2; ++x)
+                    blend_pixel(img, W, y, x, fcol, alpha);
+            if (!show_3d) {
+                // edge band: union of the 4 boundary segments, composited
+                // ONCE per pixel (keep bit-parity with the numpy union)
+                const float* ocol = outline_color + n * 3;
+                const float qx[4] = {x1, x2, x2, x1};
+                const float qy[4] = {y1, y1, y2, y2};
+                const int ex1 = std::max(0, static_cast<int>(std::floor(x1 - hw2 - 1)));
+                const int ex2 = std::min(W - 1, static_cast<int>(std::ceil(x2 + hw2 + 1)));
+                const int ey1 = std::max(0, static_cast<int>(std::floor(y1 - hw2 - 1)));
+                const int ey2 = std::min(H - 1, static_cast<int>(std::ceil(y2 + hw2 + 1)));
+                const float hw22 = hw2 * hw2;
+                for (int y = ey1; y <= ey2; ++y) {
+                    for (int x = ex1; x <= ex2; ++x) {
+                        bool hit = false;
+                        for (int e = 0; e < 4 && !hit; ++e) {
+                            const float ax = qx[e], ay = qy[e];
+                            const float bx = qx[(e + 1) % 4], by = qy[(e + 1) % 4];
+                            const float dx = bx - ax, dy = by - ay;
+                            const float len2 = std::max(dx * dx + dy * dy, 1e-8f);
+                            float t = ((x - ax) * dx + (y - ay) * dy) / len2;
+                            t = std::min(1.0f, std::max(0.0f, t));
+                            const float px = ax + t * dx, py = ay + t * dy;
+                            hit = (x - px) * (x - px) + (y - py) * (y - py) <= hw22;
+                        }
+                        if (hit) blend_pixel(img, W, y, x, ocol, alpha);
+                    }
+                }
+            }
+        }
+    }
+
+    // pass 2: opaque wireframes (zorder above all patches)
+    if (show_3d) {
+        static const int kSide[4][2] = {{0, 4}, {1, 5}, {2, 6}, {3, 7}};
+        static const int kRing[8][2] = {{0, 1}, {1, 2}, {2, 3}, {3, 0},
+                                        {4, 5}, {5, 6}, {6, 7}, {7, 4}};
+        static const int kX[3][2] = {{4, 6}, {6, 5}, {5, 7}};
+        for (int n = 0; n < N; ++n) {
+            if (!valid[n]) continue;
+            const float* c8 = corners + n * 16;
+            const float* color = outline_color + n * 3;
+            for (const auto& e : kSide)
+                draw_segment(img, H, W, c8[e[0] * 2], c8[e[0] * 2 + 1],
+                             c8[e[1] * 2], c8[e[1] * 2 + 1], color, hw2);
+            for (const auto& e : kRing)
+                draw_segment(img, H, W, c8[e[0] * 2], c8[e[0] * 2 + 1],
+                             c8[e[1] * 2], c8[e[1] * 2 + 1], color, hw2);
+            for (const auto& e : kX)
+                draw_segment(img, H, W, c8[e[0] * 2], c8[e[0] * 2 + 1],
+                             c8[e[1] * 2], c8[e[1] * 2 + 1], color, hw1);
+        }
+    }
+}
+
 // Trajectory dots: outer track-color circle + inner type-color circle.
 void rasterize_trajectory_native(float* img, int H, int W,
                                  const float* centers, const uint8_t* valid,

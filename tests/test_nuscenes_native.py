@@ -428,6 +428,42 @@ def test_dataset_test_split_switches_version(tmp_path):
         NuScenesDataset(root=root, train=True, test_split=True, clip_length=4)
 
 
+def test_bbox_frame_render_and_cache(tmp_path):
+    """Native my_render_3d_style path (reference nuscenes_.py:354-384):
+    with a bbox_dir the frame is rendered once into {token}.png and served
+    from the cache after; the renderer draws EVERY visible box (the
+    trafficcone is class-filtered from labels but still rendered)."""
+    root = _build_dataroot(tmp_path)
+    bbox_dir = str(tmp_path / "bbox_cache")
+    ds = NuScenesDataset(
+        root=root, train=True, data_type="clip", clip_length=4,
+        train_H=32, train_W=64, bbox_dir=bbox_dir,
+    )
+    token = ds._token_at(0, 0)
+    frame = ds.load_bbox_frame(0, 0, None, None)
+    assert frame.shape == (32, 64, 3)
+    path = os.path.join(bbox_dir, f"{token}.png")
+    assert os.path.exists(path)
+    assert ds.get_bbox_image_file_by_index(0) == path
+    # cached load is bit-identical (no re-render)
+    again = ds.load_bbox_frame(0, 0, None, None)
+    np.testing.assert_array_equal(frame, again)
+
+    # renderer input: labels filter the cone, the render path keeps it
+    corners, valid, outline, fill = ds._render_arrays(token)
+    assert corners.shape[0] == 2  # car + cone (identity extrinsics, both visible)
+    assert [l["type"] for l in ds.get_labels_by_index(0, 0)] == ["vehicle.car"]
+
+    # in-memory path (no bbox_dir) draws the same geometry
+    ds2 = NuScenesDataset(
+        root=root, train=True, data_type="clip", clip_length=4,
+        train_H=32, train_W=64,
+    )
+    mem = ds2.load_bbox_frame(0, 0, None, None)
+    assert mem.shape == (32, 64, 3)
+    assert float(np.abs(mem + 1).max()) > 0.1  # non-empty, [-1,1]
+
+
 def test_vae_encode_chunk_rounds_to_divisor():
     """A non-dividing encode chunk keeps a bound by rounding down to the
     largest divisor instead of silently encoding all frames at once."""

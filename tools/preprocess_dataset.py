@@ -29,17 +29,25 @@ def main(cfg=None):
     )
     n = ds.num_frames_total()
     print(f"rendering {n} bbox frames for {cfg.dataset_name}")
+    is_nusc = cfg.dataset_name == "nuscenes"
     for i in range(n):
-        labels = ds.get_labels_by_index(i)
-        calib = ds.get_calib_by_index(i)
-        frame = ds.render_bbox_frame(labels, calib)  # [-1,1]
-        out_path = ds.get_bbox_image_file_by_index(i)
-        if out_path is None:
-            out_path = os.path.join(
+        if is_nusc:
+            # nuScenes renders my_render_3d_style frames cached by token
+            # (reference nuscenes_.py:354-384); already [0,1]
+            token = ds._token_at(i, 0)
+            frame01 = ds.render_nusc_bbox_frame(token)
+            out_path = ds.get_bbox_image_file_by_index(i) or os.path.join(
+                cfg.output_dir, "bbox_frames", f"{token}.png"
+            )
+        else:
+            labels = ds.get_labels_by_index(i)
+            calib = ds.get_calib_by_index(i)
+            frame01 = ds.render_bbox_frame(labels, calib) * 0.5 + 0.5  # [-1,1]
+            out_path = ds.get_bbox_image_file_by_index(i) or os.path.join(
                 cfg.output_dir, "bbox_frames", f"{i:08d}.png"
             )
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        img = ((frame * 0.5 + 0.5) * 255).astype(np.uint8)
+        img = (np.clip(frame01, 0.0, 1.0) * 255).astype(np.uint8)
         Image.fromarray(img).save(out_path)
         if i % 100 == 0:
             print(f"{i}/{n}")
