@@ -322,22 +322,55 @@ class Attention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-identical params ({kernel, bias}, same inits/paths)
+    without computing — lets FeedForward hand raw weights to the fused
+    Pallas MLP kernel while keeping the exact nn.Dense param tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
-        x, gate = jnp.split(x, 2, axis=-1)
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
+        w, b = _DenseParams(self.dim_out * 2, name="proj")(x.shape[-1])
+        if return_params:
+            return w, b
+        # manual dense == nn.Dense(dtype): cast params to compute dtype,
+        # dot, add bias
+        h = jnp.dot(x, w.astype(self.dtype)) + b.astype(self.dtype)
+        h, gate = jnp.split(h, 2, axis=-1)
         # exact erf gelu (torch F.gelu default, used by diffusers' GEGLU) via
         # the cheap polynomial erf — see ops/geglu_ff.py::gelu_erf. The flax
         # default (tanh approximation) was a silent parity drift.
-        return x * gelu_erf(gate)
+        return h * gelu_erf(gate)
 
 
 class FeedForward(nn.Module):
-    """diffusers FeedForward: GEGLU -> Dense, mult=4."""
+    """diffusers FeedForward: GEGLU -> Dense, mult=4.
+
+    When the fused GEGLU-MLP kernel is enabled and the (rows, C) shape
+    passes its gate (ops/geglu_ff.py — opt-in, shape-gated to the
+    HBM-bound low-C/high-token FF sites), the whole proj->gelu-gate->out
+    chain runs as one Pallas program with both weight matrices
+    VMEM-resident; otherwise the standard XLA path. Identical param tree
+    either way."""
 
     dim: int
     dim_out: Optional[int] = None
@@ -346,10 +379,21 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.geglu_ff import geglu_ff, geglu_ff_supported
+
         inner = self.dim * self.mult
-        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
-        x = nn.Dense(self.dim_out or self.dim, dtype=self.dtype, name="net_2")(x)
-        return x
+        dout = self.dim_out or self.dim
+        geglu = GEGLU(inner, dtype=self.dtype, name="net_0")
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if geglu_ff_supported(m, x.shape[-1], inner, dout, x.dtype.itemsize):
+            w1, b1 = geglu(x, return_params=True)
+            w2, b2 = _DenseParams(dout, name="net_2")(inner)
+            y = geglu_ff(x.reshape(m, x.shape[-1]), w1, b1, w2, b2)
+            return y.reshape(x.shape[:-1] + (dout,))
+        x = geglu(x)
+        return nn.Dense(dout, dtype=self.dtype, name="net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -35,11 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 _enabled = False  # measured slower than XLA at the SVD shapes; see docstring
+# Shape gate: route only FF sites with c_in <= _max_cin. The r2 negative
+# result came from routing ALL 69 FF instances — the high-C instances are
+# MXU-bound (tokens×C² constant per instance => FLOPs constant, but HBM
+# traffic ∝ tokens×C = const/C), so only the low-C/high-token instances
+# can beat XLA's flat matmuls on memory traffic. None = no gate.
+_max_cin: int | None = None
 
 
-def set_fused_geglu_ff(on: bool) -> None:
-    global _enabled
+def set_fused_geglu_ff(on: bool, max_cin: int | None = None) -> None:
+    global _enabled, _max_cin
     _enabled = bool(on)
+    _max_cin = max_cin
 
 
 def _plan(m: int, c_in: int, inner: int, c_out: int, itemsize: int):
@@ -64,7 +71,9 @@ def _plan(m: int, c_in: int, inner: int, c_out: int, itemsize: int):
 
 
 def geglu_ff_supported(m: int, c_in: int, inner: int, c_out: int, itemsize: int) -> bool:
-    return _enabled and _plan(m, c_in, inner, c_out, itemsize) is not None
+    if not _enabled or (_max_cin is not None and c_in > _max_cin):
+        return False
+    return _plan(m, c_in, inner, c_out, itemsize) is not None
 
 
 def _erf(x):

@@ -125,6 +125,14 @@ def main():
         "--attention_impl", default="auto", choices=["auto", "xla", "pallas"]
     )
     ap.add_argument("--fused_resblock", action="store_true")
+    ap.add_argument(
+        "--fused_ff", action="store_true",
+        help="route FeedForward through the fused GEGLU-MLP Pallas kernel",
+    )
+    ap.add_argument(
+        "--ff_max_cin", type=int, default=640,
+        help="only route FF sites with c_in <= this (the HBM-bound shapes)",
+    )
     args = ap.parse_args()
 
     if args.attention_impl != "auto":
@@ -135,6 +143,10 @@ def main():
         from ctrlv_tpu.ops.resblock import set_fused_resblock
 
         set_fused_resblock(True)
+    if args.fused_ff:
+        from ctrlv_tpu.ops.geglu_ff import set_fused_geglu_ff
+
+        set_fused_geglu_ff(True, max_cin=args.ff_max_cin)
 
     step, sargs = build_step()
     t0 = time.time()

@@ -44,6 +44,21 @@ VARIANTS = [
         "licm15",
         {"xla_tpu_licm_size_inflation_ratio": "1.5"},
     ),
+    # combined variants: each candidate ON TOP of the shipped vmem32
+    # default (utils/compile_options.py) — the question that matters now
+    # is whether they stack with it, not whether they beat XLA defaults
+    ("lhs+vmem32", {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_enable_latency_hiding_scheduler": "True",
+    }),
+    ("fusion_cost+vmem32", {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_enable_experimental_fusion_cost_model": "True",
+    }),
+    ("licm15+vmem32", {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_licm_size_inflation_ratio": "1.5",
+    }),
     ("base_end", {}),
 ]
 
