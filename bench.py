@@ -16,6 +16,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -63,16 +64,31 @@ def main():
         )
 
     # init in bf16 storage: fp32 params for these four models are ~11.3 GB
-    # and blow the 16 GB HBM together with the program workspace.
-    unet_params = jax.jit(lambda k: cast_bf16(unet.init(k, sample, t, enc, tids)))(rng)
-    ctrl_params = jax.jit(lambda k: cast_bf16(ctrl.init(k, sample, t, enc, tids, cond)))(rng)
-    vae_params = jax.jit(
-        lambda k: cast_bf16(vae.init(k, jnp.zeros((1, H, W, 3), dtype)))
-    )(rng)
-    clip_params = jax.jit(
-        lambda k: cast_bf16(clip.init(k, jnp.zeros((1, 224, 224, 3), dtype)))
-    )(rng)
-    jax.block_until_ready((unet_params, ctrl_params, vae_params, clip_params))
+    # and blow the 16 GB HBM together with the program workspace. ONE merged
+    # init program through the cross-process executable cache
+    # (utils/exec_cache.py): four separate jits cost four driver-visible
+    # cold compiles on this 1-core host (init_s 35.3 s in BENCH_r03).
+    from ctrlv_tpu.utils.exec_cache import compile_cached
+
+    def init_all(k):
+        return cast_bf16(
+            (
+                unet.init(k, sample, t, enc, tids),
+                ctrl.init(k, sample, t, enc, tids, cond),
+                vae.init(k, jnp.zeros((1, H, W, 3), dtype)),
+                clip.init(k, jnp.zeros((1, 224, 224, 3), dtype)),
+            )
+        )
+
+    init_exec = compile_cached(init_all, (rng,), tag="bench_init")
+    unet_params, ctrl_params, vae_params, clip_params = init_exec(rng)
+    # Materialize ONE scalar to force the init program: under the axon
+    # tunnel, block_until_ready returns early while deferred compile /
+    # executable upload is still queued (measured: a "blocked" cold jit
+    # returned in 0.00 s while the real work ran 208 s at host transfer —
+    # PERF.md round-4). A host transfer is the only honest fence; all
+    # outputs of one executable complete together, so one leaf suffices.
+    np.asarray(jnp.sum(jax.tree.leaves(unet_params)[0].astype(jnp.float32)))
     init_s = time.time() - t0
 
     pipe = StableVideoControlPipeline(
@@ -93,14 +109,25 @@ def main():
             decode_chunk_size=8,
         )
 
+    def run_fenced(seed):
+        # Time against a host-materialized scalar, not block_until_ready:
+        # axon's block returns early on freshly (de)serialized executables
+        # (see init comment). The 4-byte transfer + one eager-sum dispatch
+        # cost ~26 ms — noise against an 11 s clip — and the checksum
+        # doubles as a finiteness check that the clip really was computed.
+        checksum = float(np.asarray(jnp.sum(run(seed))))
+        if not (checksum == checksum):  # NaN guard
+            raise RuntimeError(f"non-finite clip checksum at seed {seed}")
+        return checksum
+
     t0 = time.time()
-    jax.block_until_ready(run(0))  # compile + first run
+    run_fenced(0)  # compile (or cache-load) + first run
     compile_s = time.time() - t0
 
     times = []
     for i in range(1, 3):
         t0 = time.time()
-        jax.block_until_ready(run(i))
+        run_fenced(i)
         times.append(time.time() - t0)
     sec_per_clip = min(times)
 

@@ -185,6 +185,16 @@ class StableVideoControlPipeline:
             max_guidance_scale=2.0 if cfg.do_cfg else 1.0,
         )
         key = (cfg, cond_is_latent, latent_out, image.shape, cond_images.shape)
+        args = (
+            self.unet_params,
+            self.controlnet_params,
+            self.vae_params,
+            self.clip_params,
+            image,
+            cond_images,
+            rng,
+            guidance_minmax,
+        )
         if key not in self._jitted:
             from ..utils.compile_options import get_compiler_options
 
@@ -197,14 +207,14 @@ class StableVideoControlPipeline:
                         return _base(*args)
                 self._jitted[key] = fn_meshed
             else:
-                self._jitted[key] = jax.jit(fn, compiler_options=copts)
-        return self._jitted[key](
-            self.unet_params,
-            self.controlnet_params,
-            self.vae_params,
-            self.clip_params,
-            image,
-            cond_images,
-            rng,
-            guidance_minmax,
-        )
+                # Cross-process executable cache: the axon TPU helper
+                # bypasses jax's persistent compile cache, so warm starts
+                # would otherwise pay the full 100-300 s pipeline compile
+                # every process (utils/exec_cache.py).
+                from ..utils.exec_cache import compile_cached
+
+                self._jitted[key] = compile_cached(
+                    fn, args, tag="svc_sample", compiler_options=copts,
+                    key_extra=repr(key),
+                )
+        return self._jitted[key](*args)

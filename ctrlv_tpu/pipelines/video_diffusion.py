@@ -183,6 +183,15 @@ class VideoDiffusionPipeline:
             bbox_images = jnp.zeros((1,), jnp.float32)
         key = (cfg, with_bbox, latent_out, image.shape,
                None if not with_bbox else bbox_images.shape)
+        args = (
+            self.unet_params,
+            self.vae_params,
+            self.clip_params,
+            image,
+            bbox_images,
+            rng,
+            guidance_minmax,
+        )
         if key not in self._jitted:
             from ..utils.compile_options import get_compiler_options
 
@@ -195,13 +204,13 @@ class VideoDiffusionPipeline:
                         return _base(*args)
                 self._jitted[key] = fn_meshed
             else:
-                self._jitted[key] = jax.jit(fn, compiler_options=copts)
-        return self._jitted[key](
-            self.unet_params,
-            self.vae_params,
-            self.clip_params,
-            image,
-            bbox_images,
-            rng,
-            guidance_minmax,
-        )
+                # Cross-process executable cache (utils/exec_cache.py):
+                # the axon TPU helper bypasses jax's persistent compile
+                # cache; this restores warm starts across processes.
+                from ..utils.exec_cache import compile_cached
+
+                self._jitted[key] = compile_cached(
+                    fn, args, tag="svd_sample", compiler_options=copts,
+                    key_extra=repr(key),
+                )
+        return self._jitted[key](*args)
