@@ -3,7 +3,13 @@ from .ema import ema_init, ema_update, EMAState
 from .lora import lora_init, apply_lora, merge_lora
 from .state import (TrainState, make_optimizer, trainable_mask,
                     split_trainable, merge_trainable, temporal_blocks_predicate)
-from .train_step import make_svd_train_step, make_controlnet_train_step, make_vae_decoder_train_step
+from .train_step import (
+    make_svd_train_step,
+    make_svd_grad_step,
+    make_update_step,
+    make_controlnet_train_step,
+    make_vae_decoder_train_step,
+)
 from .checkpoints import CheckpointManager
 from .hf_import import (
     torch_state_dict_to_flax,
@@ -28,6 +34,8 @@ __all__ = [
     "merge_trainable",
     "temporal_blocks_predicate",
     "make_svd_train_step",
+    "make_svd_grad_step",
+    "make_update_step",
     "make_controlnet_train_step",
     "make_vae_decoder_train_step",
     "CheckpointManager",

@@ -90,11 +90,10 @@ def _build_conditioning(
     return jnp.where(is_mid, mid, cond)
 
 
-def make_svd_train_step(
+def _make_svd_loss_grad(
     unet,
     vae,
     clip_model,
-    tx: optax.GradientTransformation,
     *,
     predict_bbox: bool = False,
     num_cond_bbox_frames: int = 3,
@@ -107,23 +106,12 @@ def make_svd_train_step(
     partitioned: bool = False,
     encode_chunk: Optional[int] = None,
 ) -> Callable:
-    """Returns step(state, vae_params, clip_params, clip_frames, bbox_frames, rng).
-
-    state.params is the UNet param tree (or the LoRA tree when lora=True,
-    with the frozen base params passed via closure-free extra arg).
-
-    partitioned=True: state.params is a trainable SUBTREE (see
-    state.split_trainable) and base_params the full tree — grads and
-    optimizer state then exist only for the subset, which is what lets
-    temporal-only finetuning fit one 16 GB v5e at full size (a masked
-    optimizer still materializes params-sized grads). Updates are
-    numerically identical to the masked form (clip_by_global_norm sees
-    only live grads either way — multi_transform clips inside the
-    'train' branch).
-    """
+    """Shared fwd+bwd core: (trainable, vae_params, clip_params, clips,
+    bbox_clips, rng[, base_params]) -> (loss, grads). Used by both the
+    monolithic train step and the split grad/update pair."""
     sigma_table = jnp.asarray(training_sigma_table())
 
-    def step(state: TrainState, vae_params, clip_params, clips, bbox_clips, rng, base_params=None):
+    def loss_grad(trainable_params, vae_params, clip_params, clips, bbox_clips, rng, base_params=None):
         rng_enc, rng_enc_rgb, rng_sigma, rng_noise, rng_drop = jax.random.split(rng, 5)
         frames = bbox_clips if predict_bbox else clips
         b, f = frames.shape[:2]
@@ -185,13 +173,75 @@ def make_svd_train_step(
             pred = unet.apply(unet_params, model_in, timesteps, clip_emb, add_time_ids)
             return edm_denoising_loss(pred, noisy, target_latents, sigma)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return jax.value_and_grad(loss_fn)(trainable_params)
+
+    return loss_grad
+
+
+def make_svd_train_step(
+    unet,
+    vae,
+    clip_model,
+    tx: optax.GradientTransformation,
+    **kwargs,
+) -> Callable:
+    """Returns step(state, vae_params, clip_params, clip_frames, bbox_frames, rng).
+
+    state.params is the UNet param tree (or the LoRA tree when lora=True,
+    with the frozen base params passed via closure-free extra arg).
+
+    partitioned=True: state.params is a trainable SUBTREE (see
+    state.split_trainable) and base_params the full tree — grads and
+    optimizer state then exist only for the subset, which is what lets
+    temporal-only finetuning fit one 16 GB v5e at full size (a masked
+    optimizer still materializes params-sized grads). Updates are
+    numerically identical to the masked form (clip_by_global_norm sees
+    only live grads either way — multi_transform clips inside the
+    'train' branch).
+    """
+    loss_grad = _make_svd_loss_grad(unet, vae, clip_model, **kwargs)
+
+    def step(state: TrainState, vae_params, clip_params, clips, bbox_clips, rng, base_params=None):
+        loss, grads = loss_grad(
+            state.params, vae_params, clip_params, clips, bbox_clips, rng, base_params
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return step
+
+
+def make_svd_grad_step(
+    unet,
+    vae,
+    clip_model,
+    **kwargs,
+) -> Callable:
+    """Gradient-only half of the SVD step: (params, vae_params, clip_params,
+    clips, bbox_clips, rng[, base_params]) -> (loss, grads).
+
+    Pair with `make_update_step` to split one training micro-step into TWO
+    compiled programs (fwd+bwd / optimizer update). Numerically identical
+    to `make_svd_train_step` — the split exists for compile-size-limited
+    environments (a monolithic full-finetune fwd+bwd+AdamW program is ~2x
+    the MLIR of either half; see PERF.md round-4) and costs one extra
+    dispatch plus a grads-tree round-trip through HBM per micro-step.
+    """
+    return _make_svd_loss_grad(unet, vae, clip_model, **kwargs)
+
+
+def make_update_step(tx: optax.GradientTransformation) -> Callable:
+    """Optimizer half of the split step: (state, grads) -> (state, metrics)."""
+
+    def update(state: TrainState, grads):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"grad_norm": optax.global_norm(grads)}
+
+    return update
 
 
 def make_controlnet_train_step(

@@ -322,3 +322,39 @@ def test_remat_granularity_preserves_forward_and_grads(models):
     np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-5)
     for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_split_grad_update_matches_monolithic(models, batch):
+    """The two-program split (make_svd_grad_step + make_update_step) is
+    bit-identical to make_svd_train_step — the split exists only to halve
+    per-program MLIR size for compile-limited hosts (PERF.md round-4)."""
+    from ctrlv_tpu.train import make_svd_grad_step, make_update_step
+
+    clips, bbox = batch
+    tx = make_optimizer(learning_rate=1e-4)
+    state0 = init_train_state(models["unet_params"], tx)
+    kwargs = dict(num_cond_bbox_frames=1)
+
+    mono = jax.jit(
+        make_svd_train_step(models["unet"], models["vae"], models["clip"], tx, **kwargs)
+    )
+    grad_fn = jax.jit(
+        make_svd_grad_step(models["unet"], models["vae"], models["clip"], **kwargs)
+    )
+    upd_fn = jax.jit(make_update_step(tx))
+
+    rng = jax.random.PRNGKey(7)
+    s_mono, m_mono = mono(
+        state0, models["vae_params"], models["clip_params"], clips, bbox, rng
+    )
+    loss, grads = grad_fn(
+        state0.params, models["vae_params"], models["clip_params"], clips, bbox, rng
+    )
+    s_split, m_split = upd_fn(state0, grads)
+
+    assert float(loss) == float(m_mono["loss"])
+    assert int(s_split.step) == int(s_mono.step) == 1
+    fa = flax.traverse_util.flatten_dict(s_mono.params)
+    fb = flax.traverse_util.flatten_dict(s_split.params)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))

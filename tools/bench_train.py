@@ -236,8 +236,7 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
         flops = float("nan")
 
     state, metrics = compiled(state, *extra, clips, bbox, jax.random.PRNGKey(1), *tail)
-    jax.block_until_ready(metrics)
-    loss0 = float(metrics["loss"])
+    loss0 = float(metrics["loss"])  # host transfer: flushes the axon queue
 
     times = []
     for i in range(measure_steps):
@@ -246,7 +245,9 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
         state, metrics = compiled(
             state, *extra, clips, bbox, jax.random.PRNGKey(2 + i), *tail
         )
-        jax.block_until_ready(metrics)
+        # fence on a host transfer, not block_until_ready (axon returns
+        # early from block on AOT executables — PERF.md round-4)
+        float(metrics["loss"])
         times.append(time.time() - t0)
     micro_s = min(times)
     mfu = flops / micro_s / V5E_PEAK_BF16 if flops == flops else float("nan")
@@ -267,6 +268,101 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
         "loss_first_step": round(loss0, 4),
         "device": str(jax.devices()[0]),
     }
+
+
+def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
+    """Full-UNet finetune via the TWO-program split step (VERDICT r3 #5).
+
+    The axon compile helper crashes on the monolithic full-finetune
+    fwd+bwd+optimizer program (PERF.md round-3, environment limit); the
+    split compiles fwd+bwd and the optimizer update as separate programs
+    (~half the MLIR each — see PERF.md round-4) at the cost of one extra
+    dispatch and a grads round-trip through HBM. Optimizer is adafactor:
+    with AdamW the 9 GB mu+nu would sit resident in HBM during the grad
+    program alongside its ~14 GB peak and overflow the 15.75 GB chip.
+    """
+    from ctrlv_tpu.train import (
+        make_optimizer,
+        make_svd_grad_step,
+        make_update_step,
+    )
+    from ctrlv_tpu.train.state import init_train_state
+
+    clips, bbox = make_batch(m["F"])
+    tx = make_optimizer(
+        optimizer="adafactor", learning_rate=1e-5, nan_guard_steps=0
+    )
+    grad_fn = make_svd_grad_step(
+        m["unet"], m["vae"], m["clip"],
+        conditioning_dropout_prob=0.1, encode_chunk=enc_chunk,
+    )
+    upd_fn = make_update_step(tx)
+    state = init_train_state(m["unet_params"], tx)
+
+    jit_grad = jax.jit(grad_fn, donate_argnums=(3, 4))
+    jit_upd = jax.jit(upd_fn, donate_argnums=(0, 1))
+
+    t0 = time.time()
+    compiled_g = jit_grad.lower(
+        state.params, m["vae_params"], m["clip_params"], clips, bbox,
+        jax.random.PRNGKey(0),
+    ).compile()
+    compiled_u = jit_upd.lower(
+        state, jax.tree.map(lambda x: x, state.params)
+    ).compile()
+    compile_s = time.time() - t0
+
+    out = {"regime": "full-split", "compile_s": round(compile_s, 1)}
+    if analyze_only:
+        for tag, c in (("grad", compiled_g), ("update", compiled_u)):
+            ma = c.memory_analysis()
+            out[f"{tag}_temp_gb"] = round(ma.temp_size_in_bytes / 2**30, 2)
+            out[f"{tag}_arg_gb"] = round(ma.argument_size_in_bytes / 2**30, 2)
+        return out
+
+    try:
+        ca = compiled_g.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+
+    loss, grads = compiled_g(
+        state.params, m["vae_params"], m["clip_params"], clips, bbox,
+        jax.random.PRNGKey(1),
+    )
+    state, metrics = compiled_u(state, grads)
+    # Fence on a host transfer, not block_until_ready: axon's block returns
+    # early on freshly AOT-compiled executables while deferred work is
+    # queued (PERF.md round-4 exec-cache section). grad_norm depends on the
+    # whole grad program; state.step transfers fence the update program.
+    loss0 = float(loss)
+    float(metrics["grad_norm"]); int(state.step)
+
+    times = []
+    for i in range(measure_steps):
+        clips, bbox = make_batch(m["F"], seed=11 + i)
+        t0 = time.time()
+        loss, grads = compiled_g(
+            state.params, m["vae_params"], m["clip_params"], clips, bbox,
+            jax.random.PRNGKey(2 + i),
+        )
+        state, metrics = compiled_u(state, grads)
+        float(metrics["grad_norm"]); int(state.step)
+        times.append(time.time() - t0)
+    micro_s = min(times)
+    mfu = flops / micro_s / V5E_PEAK_BF16 if flops == flops else float("nan")
+    out.update(
+        sec_per_micro_step=round(micro_s, 3),
+        mfu=round(mfu, 3) if mfu == mfu else None,
+        tflop_per_micro_step=round(flops / 1e12, 1) if flops == flops else None,
+        trainable_params_m=round(_count_params(state.params) / 1e6, 1),
+        loss_first_step=round(loss0, 4),
+        grad_norm=round(float(metrics["grad_norm"]), 3),
+        device=str(jax.devices()[0]),
+    )
+    return out
 
 
 def main():
@@ -300,10 +396,16 @@ def main():
     results = []
     for regime in regimes:
         try:
-            r = bench_regime(
-                m, regime, args.accum, args.measure_steps,
-                analyze_only=args.analyze, enc_chunk=args.enc_chunk,
-            )
+            if regime == "full-split":
+                r = bench_full_split(
+                    m, args.measure_steps,
+                    enc_chunk=args.enc_chunk, analyze_only=args.analyze,
+                )
+            else:
+                r = bench_regime(
+                    m, regime, args.accum, args.measure_steps,
+                    analyze_only=args.analyze, enc_chunk=args.enc_chunk,
+                )
         except Exception as e:  # OOM etc: record, keep going
             r = {"regime": regime, "error": f"{type(e).__name__}: {str(e)[:2000]}"}
         print(json.dumps(r), flush=True)
