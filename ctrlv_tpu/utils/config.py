@@ -129,6 +129,11 @@ class Config:
     optimizer_sharding: str = "auto"  # auto|none|zero1 (auto: zero1 when mesh>1)
     optimizer: str = "adamw"  # adamw|adafactor
     adam_mu_dtype: Optional[str] = None  # e.g. bfloat16
+    # compile the micro-step as TWO programs (fwd+bwd / optimizer update)
+    # instead of one monolith: numerically identical (tests/test_train.py),
+    # ~half the MLIR per program — the knob that makes full-UNet finetune
+    # compile on AOT-helper-limited hosts (PERF.md round-4)
+    split_train_step: bool = False
 
     def __post_init__(self):
         if self.dataset_name.lower() == "bdd100k" and self.fps == 7:

@@ -307,13 +307,14 @@ def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
         state.params, m["vae_params"], m["clip_params"], clips, bbox,
         jax.random.PRNGKey(0),
     ).compile()
-    compiled_u = jit_upd.lower(
-        state, jax.tree.map(lambda x: x, state.params)
-    ).compile()
     compile_s = time.time() - t0
 
-    out = {"regime": "full-split", "compile_s": round(compile_s, 1)}
     if analyze_only:
+        compiled_u = jit_upd.lower(
+            state, jax.tree.map(lambda x: x, state.params)
+        ).compile()
+        out = {"regime": "full-split",
+               "compile_s": round(time.time() - t0, 1)}
         for tag, c in (("grad", compiled_g), ("update", compiled_u)):
             ma = c.memory_analysis()
             out[f"{tag}_temp_gb"] = round(ma.temp_size_in_bytes / 2**30, 2)
@@ -328,17 +329,36 @@ def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
     except Exception:
         flops = float("nan")
 
+    # Sequence the warmups: run the grad program ONCE (and fence on the
+    # loss transfer) before even compiling the update program. The grad
+    # program's 6.25 GB temp peak + ~2.8 GB grads output + 4 GB resident
+    # args leave <3 GB of the 15.75 GB chip free; instantiating BOTH
+    # executables' on-device workspaces before the first grad exec is a
+    # measured deterministic RESOURCE_EXHAUSTED, while this ordering fits
+    # (probe, PERF.md round-4 full-finetune section).
     loss, grads = compiled_g(
         state.params, m["vae_params"], m["clip_params"], clips, bbox,
         jax.random.PRNGKey(1),
     )
+    loss0_fence = float(loss)
+    t0 = time.time()
+    compiled_u = jit_upd.lower(
+        state, jax.tree.map(lambda x: x, state.params)
+    ).compile()
+    compile_s += time.time() - t0
     state, metrics = compiled_u(state, grads)
     # Fence on a host transfer, not block_until_ready: axon's block returns
     # early on freshly AOT-compiled executables while deferred work is
     # queued (PERF.md round-4 exec-cache section). grad_norm depends on the
     # whole grad program; state.step transfers fence the update program.
-    loss0 = float(loss)
+    loss0 = loss0_fence
     float(metrics["grad_norm"]); int(state.step)
+    # Drop the grads binding between micro-steps: holding the previous
+    # iteration's 2.8 GB grad tree across the next grad exec is a measured
+    # deterministic OOM on the 15.75 GB chip (the update does not get to
+    # donate it — metrics has no grads-shaped output to alias).
+    del grads
+    out = {"regime": "full-split", "compile_s": round(compile_s, 1)}
 
     times = []
     for i in range(measure_steps):
@@ -349,6 +369,7 @@ def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
             jax.random.PRNGKey(2 + i),
         )
         state, metrics = compiled_u(state, grads)
+        del grads
         float(metrics["grad_norm"]); int(state.step)
         times.append(time.time() - t0)
     micro_s = min(times)

@@ -59,6 +59,13 @@ VARIANTS = [
         "xla_tpu_scoped_vmem_limit_kib": "32768",
         "xla_tpu_licm_size_inflation_ratio": "1.5",
     }),
+    # if lhs and fusion_cost each stack with vmem32, ask whether they
+    # stack with each other before shipping a new default
+    ("lhs+fc+vmem32", {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_enable_latency_hiding_scheduler": "True",
+        "xla_tpu_enable_experimental_fusion_cost_model": "True",
+    }),
     ("base_end", {}),
 ]
 

@@ -98,18 +98,41 @@ def main(cfg=None):
         state = init_train_state(models["unet_params"], tx)
     ema = ema_init(models["unet_params"]) if cfg.use_ema else None
 
-    step_fn = jax.jit(
-        make_svd_train_step(
-            models["unet"], models["vae"], models["clip"], tx,
-            predict_bbox=cfg.predict_bbox,
-            num_cond_bbox_frames=cfg.num_cond_bbox_frames,
-            conditioning_dropout_prob=cfg.conditioning_dropout_prob,
-            fps=cfg.fps,
-            noise_aug_strength=cfg.noise_aug_strength,
-            lora=cfg.enable_lora,
-        ),
-        donate_argnums=(0,),
+    step_kwargs = dict(
+        predict_bbox=cfg.predict_bbox,
+        num_cond_bbox_frames=cfg.num_cond_bbox_frames,
+        conditioning_dropout_prob=cfg.conditioning_dropout_prob,
+        fps=cfg.fps,
+        noise_aug_strength=cfg.noise_aug_strength,
+        lora=cfg.enable_lora,
     )
+    if cfg.split_train_step:
+        # Two compiled programs per micro-step (fwd+bwd / optimizer update),
+        # bit-identical to the monolith (tests/test_train.py). This is the
+        # path that lets FULL-UNet finetune compile where the AOT helper
+        # rejects the monolithic program, and the grads program alone
+        # leaves <3 GB free on a 16 GB chip — do not instantiate other
+        # large executables before its first run (PERF.md round-4).
+        from ctrlv_tpu.train import make_svd_grad_step, make_update_step
+
+        grad_jit = jax.jit(make_svd_grad_step(
+            models["unet"], models["vae"], models["clip"], **step_kwargs
+        ))
+        upd_jit = jax.jit(make_update_step(tx), donate_argnums=(0, 1))
+
+        def step_fn(state, vae_params, clip_params, clips, bbox, rng, *extra):
+            loss, grads = grad_jit(
+                state.params, vae_params, clip_params, clips, bbox, rng, *extra
+            )
+            state, metrics = upd_jit(state, grads)
+            return state, {"loss": loss, **metrics}
+    else:
+        step_fn = jax.jit(
+            make_svd_train_step(
+                models["unet"], models["vae"], models["clip"], tx, **step_kwargs
+            ),
+            donate_argnums=(0,),
+        )
 
     mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
     batch_sharding = NamedSharding(mesh, P("data"))
