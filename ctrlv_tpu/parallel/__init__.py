@@ -1,4 +1,4 @@
-from .mesh import make_mesh, MeshAxes
+from .mesh import make_mesh, make_train_mesh, MeshAxes
 from .sharding import (
     shard_batch_frames,
     replicate,
@@ -10,6 +10,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_train_mesh",
     "MeshAxes",
     "shard_batch_frames",
     "replicate",

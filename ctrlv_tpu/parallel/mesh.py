@@ -17,6 +17,7 @@ NCCL analog to manage.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -51,3 +52,33 @@ def make_mesh(
     )
     arr = np.asarray(devices).reshape(n_data, n_frame)
     return Mesh(arr, (AXES.data, AXES.frame))
+
+
+def make_train_mesh(
+    global_batch: int,
+    n_data: Optional[int] = None,
+    n_frame: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Training mesh whose data axis always divides the global batch.
+
+    The reference's envelope is batch 1 (demo_train_video_box2video.sh), so
+    on a multi-device host a default all-devices DP mesh cannot shard the
+    batch at all — `device_put(batch, P("data"))` raises on divisibility.
+    With `n_data=None` this picks gcd(available, batch) data shards and
+    leaves the surplus devices out of the mesh (idle), which is the only
+    semantics-preserving option short of padding the batch with dead
+    samples. An explicit `n_data` that doesn't divide the batch is a clear
+    error instead of a shape crash deep inside device_put.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    avail = max(len(devices) // max(n_frame, 1), 1)
+    if n_data is None:
+        n_data = math.gcd(avail, max(int(global_batch), 1))
+    elif global_batch % n_data != 0:
+        raise ValueError(
+            f"--mesh_data {n_data} does not divide the global batch "
+            f"{global_batch}; pick a divisor (or omit --mesh_data to "
+            f"auto-select gcd(devices, batch))"
+        )
+    return make_mesh(n_data, n_frame, devices[: n_data * n_frame])

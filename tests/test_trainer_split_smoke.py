@@ -18,7 +18,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 @pytest.mark.mesh
-def test_trainer_runs_with_split_step(tmp_path):
+@pytest.mark.parametrize(
+    "variant_flags",
+    [
+        [],  # default: non-LoRA, accum 1 — batch 1 on the 8-dev conftest
+        # LoRA exercises the *extra pass-through into grad_jit and the
+        # LoRA-shaped state/grads through the donating update program;
+        # accum 2 adds the MultiSteps interaction on the split path
+        ["--enable_lora", "--gradient_accumulation_steps", "2"],
+    ],
+    ids=["default", "lora-accum2"],
+)
+def test_trainer_runs_with_split_step(tmp_path, variant_flags):
     import train_video_diffusion as tvd
     from ctrlv_tpu.utils.config import parse_args
 
@@ -32,9 +43,28 @@ def test_trainer_runs_with_split_step(tmp_path):
         "--train_H", "64",
         "--train_W", "64",
         "--split_train_step",
+        *variant_flags,
     ])
     assert cfg.split_train_step is True
     state = tvd.main(cfg)
     assert int(state.step) == 2
     # the final export ran (same artifact layout as the monolithic path)
     assert os.path.isdir(os.path.join(str(tmp_path), "pipeline"))
+
+
+def test_train_mesh_clamps_to_batch():
+    """Default mesh must not over-shard a small global batch (the r4 red
+    test's root cause: batch 1 on an 8-device default mesh crashed
+    device_put). Runs on the 8-virtual-device conftest CPU mesh."""
+    from ctrlv_tpu.parallel import make_train_mesh
+
+    assert make_train_mesh(1).shape["data"] == 1
+    assert make_train_mesh(2).shape["data"] == 2
+    assert make_train_mesh(3).shape["data"] == 1  # gcd(8, 3)
+    assert make_train_mesh(8).shape["data"] == 8
+    assert make_train_mesh(16).shape["data"] == 8
+    assert make_train_mesh(4, n_frame=2).shape == {"data": 4, "frame": 2}
+    with pytest.raises(ValueError, match="does not divide"):
+        make_train_mesh(3, n_data=2)
+    # explicit divisor is honored
+    assert make_train_mesh(4, n_data=2).shape["data"] == 2

@@ -16,7 +16,7 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctrlv_tpu.data import get_dataloader
-from ctrlv_tpu.parallel import make_mesh, shard_train_state
+from ctrlv_tpu.parallel import make_train_mesh, shard_train_state
 from ctrlv_tpu.train import CheckpointManager, make_optimizer, make_vae_decoder_train_step, trainable_mask
 from ctrlv_tpu.train.observability import Tracker, collect_demo_samples, run_vae_validation
 from ctrlv_tpu.train.state import init_train_state, vae_decoder_predicate
@@ -46,7 +46,9 @@ def main(cfg=None):
     state = init_train_state(models["vae_params"], tx)
     step_fn = jax.jit(make_vae_decoder_train_step(models["vae"], tx), donate_argnums=(0,))
 
-    mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
+    mesh = make_train_mesh(
+        cfg.train_batch_size, n_data=cfg.mesh_data, n_frame=cfg.mesh_frame
+    )
     zero1 = cfg.optimizer_sharding == "zero1" or (
         cfg.optimizer_sharding == "auto" and mesh.shape["data"] > 1
     )

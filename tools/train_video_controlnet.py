@@ -18,7 +18,7 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctrlv_tpu.data import get_dataloader
-from ctrlv_tpu.parallel import make_mesh, shard_train_state
+from ctrlv_tpu.parallel import make_train_mesh, shard_train_state
 from ctrlv_tpu.train import CheckpointManager, make_controlnet_train_step, make_optimizer
 from ctrlv_tpu.train.observability import Tracker, collect_demo_samples, run_validation
 from ctrlv_tpu.train.state import init_train_state
@@ -67,7 +67,9 @@ def main(cfg=None):
         donate_argnums=(0,),
     )
 
-    mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
+    mesh = make_train_mesh(
+        cfg.train_batch_size, n_data=cfg.mesh_data, n_frame=cfg.mesh_frame
+    )
     batch_sharding = NamedSharding(mesh, P("data"))
     zero1 = cfg.optimizer_sharding == "zero1" or (
         cfg.optimizer_sharding == "auto" and mesh.shape["data"] > 1

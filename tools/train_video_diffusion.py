@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctrlv_tpu.data import get_dataloader
-from ctrlv_tpu.parallel import make_mesh, shard_train_state
+from ctrlv_tpu.parallel import make_train_mesh, shard_train_state
 from ctrlv_tpu.train import (
     CheckpointManager,
     ema_init,
@@ -115,9 +115,12 @@ def main(cfg=None):
         # large executables before its first run (PERF.md round-4).
         from ctrlv_tpu.train import make_svd_grad_step, make_update_step
 
+        # donate the freshly device_put batch (clips/bbox): in the
+        # <3 GB-headroom full-finetune regime this flag exists for, keeping
+        # them alive across the grad program adds avoidable HBM pressure
         grad_jit = jax.jit(make_svd_grad_step(
             models["unet"], models["vae"], models["clip"], **step_kwargs
-        ))
+        ), donate_argnums=(3, 4))
         upd_jit = jax.jit(make_update_step(tx), donate_argnums=(0, 1))
 
         def step_fn(state, vae_params, clip_params, clips, bbox, rng, *extra):
@@ -134,7 +137,9 @@ def main(cfg=None):
             donate_argnums=(0,),
         )
 
-    mesh = make_mesh(n_data=cfg.mesh_data, n_frame=cfg.mesh_frame)
+    mesh = make_train_mesh(
+        cfg.train_batch_size, n_data=cfg.mesh_data, n_frame=cfg.mesh_frame
+    )
     batch_sharding = NamedSharding(mesh, P("data"))
     zero1 = cfg.optimizer_sharding == "zero1" or (
         cfg.optimizer_sharding == "auto" and mesh.shape["data"] > 1
