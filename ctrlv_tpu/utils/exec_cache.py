@@ -23,15 +23,22 @@ times a cached executable must fence on a host-materialized scalar
 
 Keying: because tracing itself is the second-biggest cold cost, the key
 deliberately does NOT hash the lowered program. It hashes everything the
-program is a function of instead: all ctrlv_tpu + entry-script sources,
-jax/flax versions, device kind/count, XLA env flags, compiler options,
-the function's qualname, arg avals/treedef, and a caller-provided
-key_extra for static config that shapes don't capture (e.g. the
-SamplingConfig). Any source edit, shape change, or flag change misses
-the cache and recompiles; a hit on a stale-but-matching key is
-impossible unless the program depends on state outside that closure
-(don't do that). Deserialization failures fall back to a fresh compile
-and overwrite the entry.
+program is a function of instead: the SOURCE CLOSURE of the entry
+function (its defining module plus every ctrlv_tpu module transitively
+reachable from it through static imports — round-4's whole-package hash
+meant ANY edit, even to tools/ or an unrelated subsystem, poisoned every
+entry; that is exactly how the round-4 snapshot commit cost the driver
+~18 min of cold start), jax/flax versions, device kind/count, XLA env
+flags, compiler options, the function's qualname, arg avals/treedef, and
+a caller-provided key_extra for static config that shapes don't capture
+(e.g. the SamplingConfig). Any closure-source edit, shape change, or
+flag change misses the cache and recompiles; a hit on a
+stale-but-matching key is impossible unless the program depends on state
+outside that closure (don't do that; note dynamic importlib tricks are
+invisible to the static scan — the package has none). Set
+CTRLV_EXEC_CACHE_KEY=all to fall back to the whole-package hash.
+Deserialization failures fall back to a fresh compile and overwrite the
+entry.
 
 Enabled by default on TPU backends (where the helper bypass bites);
 disable with CTRLV_EXEC_CACHE=0, redirect with CTRLV_EXEC_CACHE=<dir>.
@@ -103,11 +110,13 @@ def _source_hash() -> str:
     """Hash of every .py under the ctrlv_tpu package plus the repo-root
     top-level scripts (bench.py, __graft_entry__.py, ...).
 
-    Deliberately does NOT hash __main__: the same cached program must key
-    identically whether it is built by `python bench.py`, an import of
-    __graft_entry__ from an external harness, or a `python -c` pre-warm —
-    every compile_cached call site lives in the hashed sources, and config
-    that shapes the traced program beyond avals goes through key_extra."""
+    Round-4 legacy key (CTRLV_EXEC_CACHE_KEY=all) and the fallback when
+    the closure scan fails. Deliberately does NOT hash __main__: the same
+    cached program must key identically whether it is built by `python
+    bench.py`, an import of __graft_entry__ from an external harness, or
+    a `python -c` pre-warm — every compile_cached call site lives in the
+    hashed sources, and config that shapes the traced program beyond
+    avals goes through key_extra."""
     global _src_hash_cache
     if _src_hash_cache is not None:
         return _src_hash_cache
@@ -133,6 +142,128 @@ def _source_hash() -> str:
     return _src_hash_cache
 
 
+_PKG_NAME = "ctrlv_tpu"
+_closure_hash_cache: Dict[str, str] = {}
+
+
+def _module_file(modname: str, pkg_root: str) -> Optional[str]:
+    """Map a ctrlv_tpu.<...> dotted name to its source file, if it exists."""
+    rel = modname.split(".")[1:]  # drop the package name
+    base = os.path.join(pkg_root, *rel)
+    for cand in (base + ".py", os.path.join(base, "__init__.py")):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _imports_of(path: str, modname: str) -> set:
+    """Dotted ctrlv_tpu module names statically imported by `path`.
+
+    Walks the whole AST, so imports inside function bodies (the package's
+    lazy-import idiom) are seen. `from pkg.mod import name` adds both
+    pkg.mod and pkg.mod.name (the latter resolves only if it is itself a
+    module). Relative imports resolve against `modname`'s package."""
+    import ast
+
+    try:
+        tree = ast.parse(open(path, "rb").read())
+    except SyntaxError:
+        return set()
+    is_pkg = os.path.basename(path) == "__init__.py"
+    out = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == _PKG_NAME or a.name.startswith(_PKG_NAME + "."):
+                    out.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                base = node.module or ""
+            else:
+                # resolve `from ..x import y` against this module's package
+                parts = modname.split(".")
+                # package of this module: drop trailing component unless
+                # this file IS a package __init__
+                pkg_parts = parts if is_pkg else parts[:-1]
+                up = node.level - 1
+                if up > len(pkg_parts):
+                    continue
+                anchor = pkg_parts[: len(pkg_parts) - up]
+                base = ".".join(anchor + ([node.module] if node.module else []))
+            if not (base == _PKG_NAME or base.startswith(_PKG_NAME + ".")):
+                continue
+            out.add(base)
+            for a in node.names:
+                out.add(base + "." + a.name)
+    return out
+
+
+def closure_files(fn: Callable) -> list:
+    """Sorted source files in the transitive ctrlv_tpu closure of fn.
+
+    The seed is the file that DEFINES fn (bench.py, __graft_entry__.py, a
+    pipeline module, ...); BFS over static ctrlv_tpu imports from there."""
+    import inspect
+
+    seed = inspect.getsourcefile(fn)
+    if seed is None:
+        raise ValueError("no source file")
+    seed = os.path.abspath(seed)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def name_of(path: str) -> str:
+        rel = os.path.relpath(path, os.path.dirname(pkg_root))
+        parts = rel[:-3].split(os.sep)  # strip .py
+        if parts[-1] == "__init__":
+            parts = parts[:-1]
+        return ".".join(parts)
+
+    seed_mod = (
+        name_of(seed)
+        if seed.startswith(pkg_root + os.sep)
+        # out-of-package seeds (bench.py, tests) have no relative imports
+        else _PKG_NAME + ".__seed__"
+    )
+    files = {seed}
+    frontier = [(seed, seed_mod)]
+    seen_mods = set()
+    while frontier:
+        path, modname = frontier.pop()
+        for imp in _imports_of(path, modname):
+            # walk up the dotted name: ctrlv_tpu.a.b pulls a/__init__ too
+            parts = imp.split(".")
+            for i in range(1, len(parts) + 1):
+                sub = ".".join(parts[:i])
+                if sub in seen_mods:
+                    continue
+                seen_mods.add(sub)
+                f = _module_file(sub, pkg_root)
+                if f and f not in files:
+                    files.add(f)
+                    frontier.append((f, sub))
+    return sorted(files)
+
+
+def _closure_hash(fn: Callable) -> str:
+    """Hash of fn's source closure. Edits to sources outside it (tools/*,
+    tests, unrelated subsystems) no longer invalidate the entry."""
+    import inspect
+
+    seed = os.path.abspath(inspect.getsourcefile(fn))
+    if seed in _closure_hash_cache:
+        return _closure_hash_cache[seed]
+    files = closure_files(fn)
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    digest = h.hexdigest()
+    _dbg(f"closure of {os.path.basename(seed)}: {len(files)} files -> {digest[:12]}")
+    _closure_hash_cache[seed] = digest
+    return digest
+
+
 def _key(
     fn: Callable,
     args: tuple,
@@ -142,7 +273,14 @@ def _key(
     import flax
 
     h = hashlib.sha256()
-    h.update(_source_hash().encode())
+    if os.environ.get("CTRLV_EXEC_CACHE_KEY", "") == "all":
+        h.update(_source_hash().encode())
+    else:
+        try:
+            h.update(_closure_hash(fn).encode())
+        except Exception as e:
+            _dbg(f"closure scan failed ({type(e).__name__}: {e}); whole-package key")
+            h.update(_source_hash().encode())
     h.update(jax.__version__.encode())
     h.update(flax.__version__.encode())
     try:
