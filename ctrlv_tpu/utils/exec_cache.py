@@ -309,6 +309,7 @@ def compile_cached(
     tag: str,
     compiler_options: Optional[Dict[str, str]] = None,
     key_extra: str = "",
+    donate_argnums=None,
 ) -> Any:
     """jit(fn) compiled for `args`, with a cross-process executable cache.
 
@@ -322,14 +323,21 @@ def compile_cached(
     """
     from jax.experimental import serialize_executable as se
 
-    jitted = jax.jit(fn, compiler_options=compiler_options)
+    jitted = jax.jit(
+        fn,
+        compiler_options=compiler_options,
+        donate_argnums=tuple(donate_argnums) if donate_argnums else (),
+    )
     cdir = cache_dir()
     if cdir is None:
         return jitted.lower(*args).compile()
 
     os.makedirs(cdir, exist_ok=True)
     t0 = time.time()
-    key = _key(fn, args, compiler_options, key_extra)
+    key = _key(
+        fn, args, compiler_options,
+        key_extra + (f"|donate{tuple(donate_argnums)}" if donate_argnums else ""),
+    )
     _dbg(f"{tag}: key {time.time() - t0:.1f}s -> {key}")
     path = os.path.join(cdir, f"{tag}-{key}.jexec")
     if os.path.exists(path):

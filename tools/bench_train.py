@@ -11,6 +11,9 @@ training regimes on the real TPU and emits one JSON line per regime:
   temporal      — SVD UNet, temporal-transformer-blocks-only subset (§3.1)
   lora          — rank-4 LoRA on to_q/k/v/out_0 (reference LoRA workload)
   full          — SVD UNet full finetune, AdamW mu_dtype=bf16 (feasibility)
+  full-split    — full finetune via the TWO-program split step (the regime
+                  that actually runs on this host; PERF.md round-5)
+  temporal-split — temporal regime via the split (isolates the split cost)
   full-af       — SVD UNet full finetune, adafactor (memory-lean fallback)
 
 Numbers land in PERF.md + BENCH_TRAIN.json. Random weights: wall-clock is
@@ -49,7 +52,13 @@ def _count_params(tree):
     return sum(x.size for x in jax.tree.leaves(tree))
 
 
+# remat granularity of the last build_models call — part of the training
+# exec-cache key (the step closure bakes it in; avals don't see it)
+_REMAT_TAG = ["block"]
+
+
 def build_models(remat_granularity="block"):
+    _REMAT_TAG[0] = remat_granularity
     from ctrlv_tpu.models import (
         AutoencoderKLTemporalDecoder,
         CLIPVisionConfig,
@@ -123,7 +132,31 @@ def make_batch(F, seed=7):
     return clips, bbox
 
 
-def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=5):
+def profile_steps(run_one, n_steps=3, trace_dir="/tmp/prof_train"):
+    """xplane device trace of a training step (VERDICT r4 #4: nothing
+    previously profiled the backward). `run_one(i)` executes one step and
+    returns a scalar-able metric to fence on. Reuses profile_denoise's
+    pool aggregation; prints the top pools and returns them."""
+    from profile_denoise import aggregate_xplane
+
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir):
+        for i in range(n_steps):
+            metric = run_one(i)
+        # fence inside the trace so queued device work lands in it
+        float(metric)
+    pools, inst = aggregate_xplane(trace_dir, n_steps)
+    total = sum(pools.values())
+    print(f"train-step device total: {total:.1f} ms", flush=True)
+    for k, v in sorted(pools.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{v:8.2f} ms  {k}")
+    with open(os.path.join(trace_dir, "pools.json"), "w") as f:
+        json.dump({"pools": pools, "instances": inst}, f, indent=1)
+    return pools
+
+
+def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=5,
+                 profile_dir=None):
     import optax
 
     from ctrlv_tpu.train import (
@@ -197,6 +230,27 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
 
     state = init_train_state(trainable, tx)
     jit_step = jax.jit(step_fn, donate_argnums=(0,) + batch_argnums)
+    # Cross-process executable cache (VERDICT r4 #7): training programs
+    # paid 202-862 s compile per regime per process, making training
+    # benches un-rerunnable inside a round budget. Key on the regime +
+    # bench knobs (qualname/avals alone would collide full vs full-af —
+    # same step shape, different optimizer baked into the closure).
+    from ctrlv_tpu.ops import get_attention_impl
+    from ctrlv_tpu.utils.exec_cache import compile_cached
+
+    cache_key = (
+        f"{regime}|accum{accum}|attn={get_attention_impl()}"
+        f"|enc{enc_chunk}|{_REMAT_TAG[0]}"
+    )
+
+    def compile_step():
+        return compile_cached(
+            step_fn,
+            (state, *extra, clips, bbox, jax.random.PRNGKey(1), *tail),
+            tag=f"train_{regime}",
+            key_extra=cache_key,
+            donate_argnums=(0,) + batch_argnums,
+        )
 
     if analyze_only:
         t0 = time.time()
@@ -220,12 +274,10 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
                 pass
         return out
 
-    # AOT-compile once; execute the same executable for the timed calls
-    # (avoids a second trip through the flaky remote compile helper).
+    # AOT-compile once (through the exec cache); execute the same
+    # executable for the timed calls.
     t0 = time.time()
-    compiled = jit_step.lower(
-        state, *extra, clips, bbox, jax.random.PRNGKey(0), *tail
-    ).compile()
+    compiled = compile_step()
     compile_s = time.time() - t0
     try:
         ca = compiled.cost_analysis()
@@ -252,7 +304,16 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
     micro_s = min(times)
     mfu = flops / micro_s / V5E_PEAK_BF16 if flops == flops else float("nan")
 
-    from ctrlv_tpu.ops import get_attention_impl
+    if profile_dir:
+        def run_one(i):
+            nonlocal state
+            c, b = make_batch(m["F"], seed=50 + i)
+            state, mets = compiled(
+                state, *extra, c, b, jax.random.PRNGKey(70 + i), *tail
+            )
+            return mets["loss"]
+
+        profile_steps(run_one, trace_dir=profile_dir)
 
     n_train = _count_params(state.params)
     return {
@@ -270,50 +331,76 @@ def bench_regime(m, regime, accum, measure_steps, analyze_only=False, enc_chunk=
     }
 
 
-def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
-    """Full-UNet finetune via the TWO-program split step (VERDICT r3 #5).
+def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False, regime="full-split"):
+    """Training via the TWO-program split step (VERDICT r3 #5).
 
-    The axon compile helper crashes on the monolithic full-finetune
-    fwd+bwd+optimizer program (PERF.md round-3, environment limit); the
-    split compiles fwd+bwd and the optimizer update as separate programs
-    (~half the MLIR each — see PERF.md round-4) at the cost of one extra
-    dispatch and a grads round-trip through HBM. Optimizer is adafactor:
-    with AdamW the 9 GB mu+nu would sit resident in HBM during the grad
-    program alongside its ~14 GB peak and overflow the 15.75 GB chip.
+    full-split: the axon compile helper crashes on the monolithic
+    full-finetune fwd+bwd+optimizer program (PERF.md round-3, environment
+    limit); the split compiles fwd+bwd and the optimizer update as
+    separate programs (~half the MLIR each — see PERF.md round-4) at the
+    cost of one extra dispatch and a grads round-trip through HBM.
+    Optimizer is adafactor: with AdamW the 9 GB mu+nu would sit resident
+    in HBM during the grad program alongside its ~14 GB peak and overflow
+    the 15.75 GB chip.
+
+    temporal-split: the same split on the temporal regime, which ALSO
+    compiles monolithically — measuring both isolates the split's
+    grads-round-trip + extra-dispatch cost (VERDICT r4 #4).
     """
     from ctrlv_tpu.train import (
         make_optimizer,
         make_svd_grad_step,
         make_update_step,
+        split_trainable,
+        temporal_blocks_predicate,
     )
     from ctrlv_tpu.train.state import init_train_state
 
     clips, bbox = make_batch(m["F"])
-    tx = make_optimizer(
-        optimizer="adafactor", learning_rate=1e-5, nan_guard_steps=0
-    )
-    grad_fn = make_svd_grad_step(
-        m["unet"], m["vae"], m["clip"],
-        conditioning_dropout_prob=0.1, encode_chunk=enc_chunk,
-    )
+    tail = ()
+    if regime == "temporal-split":
+        tx = make_optimizer(
+            mu_dtype="bfloat16", learning_rate=1e-5, nan_guard_steps=0
+        )
+        trainable = split_trainable(m["unet_params"], temporal_blocks_predicate)
+        tail = (m["unet_params"],)
+        grad_fn = make_svd_grad_step(
+            m["unet"], m["vae"], m["clip"], partitioned=True,
+            conditioning_dropout_prob=0.1, encode_chunk=enc_chunk,
+        )
+    else:
+        tx = make_optimizer(
+            optimizer="adafactor", learning_rate=1e-5, nan_guard_steps=0
+        )
+        trainable = m["unet_params"]
+        grad_fn = make_svd_grad_step(
+            m["unet"], m["vae"], m["clip"],
+            conditioning_dropout_prob=0.1, encode_chunk=enc_chunk,
+        )
     upd_fn = make_update_step(tx)
-    state = init_train_state(m["unet_params"], tx)
+    state = init_train_state(trainable, tx)
 
-    jit_grad = jax.jit(grad_fn, donate_argnums=(3, 4))
+    from ctrlv_tpu.utils.exec_cache import compile_cached
+
     jit_upd = jax.jit(upd_fn, donate_argnums=(0, 1))
+    split_key = f"{regime}|enc{enc_chunk}|{_REMAT_TAG[0]}"
 
     t0 = time.time()
-    compiled_g = jit_grad.lower(
-        state.params, m["vae_params"], m["clip_params"], clips, bbox,
-        jax.random.PRNGKey(0),
-    ).compile()
+    compiled_g = compile_cached(
+        grad_fn,
+        (state.params, m["vae_params"], m["clip_params"], clips, bbox,
+         jax.random.PRNGKey(0), *tail),
+        tag=f"train_{regime}_grad",
+        key_extra=split_key,
+        donate_argnums=(3, 4),
+    )
     compile_s = time.time() - t0
 
     if analyze_only:
         compiled_u = jit_upd.lower(
             state, jax.tree.map(lambda x: x, state.params)
         ).compile()
-        out = {"regime": "full-split",
+        out = {"regime": regime,
                "compile_s": round(time.time() - t0, 1)}
         for tag, c in (("grad", compiled_g), ("update", compiled_u)):
             ma = c.memory_analysis()
@@ -335,16 +422,20 @@ def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
     # args leave <3 GB of the 15.75 GB chip free; instantiating BOTH
     # executables' on-device workspaces before the first grad exec is a
     # measured deterministic RESOURCE_EXHAUSTED, while this ordering fits
-    # (probe, PERF.md round-4 full-finetune section).
+    # (probe, PERF.md round-5 full-finetune section).
     loss, grads = compiled_g(
         state.params, m["vae_params"], m["clip_params"], clips, bbox,
-        jax.random.PRNGKey(1),
+        jax.random.PRNGKey(1), *tail,
     )
     loss0_fence = float(loss)
     t0 = time.time()
-    compiled_u = jit_upd.lower(
-        state, jax.tree.map(lambda x: x, state.params)
-    ).compile()
+    compiled_u = compile_cached(
+        upd_fn,
+        (state, jax.tree.map(lambda x: x, state.params)),
+        tag=f"train_{regime}_upd",
+        key_extra=split_key,
+        donate_argnums=(0, 1),
+    )
     compile_s += time.time() - t0
     state, metrics = compiled_u(state, grads)
     # Fence on a host transfer, not block_until_ready: axon's block returns
@@ -358,7 +449,7 @@ def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
     # deterministic OOM on the 15.75 GB chip (the update does not get to
     # donate it — metrics has no grads-shaped output to alias).
     del grads
-    out = {"regime": "full-split", "compile_s": round(compile_s, 1)}
+    out = {"regime": regime, "compile_s": round(compile_s, 1)}
 
     times = []
     for i in range(measure_steps):
@@ -366,7 +457,7 @@ def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False):
         t0 = time.time()
         loss, grads = compiled_g(
             state.params, m["vae_params"], m["clip_params"], clips, bbox,
-            jax.random.PRNGKey(2 + i),
+            jax.random.PRNGKey(2 + i), *tail,
         )
         state, metrics = compiled_u(state, grads)
         del grads
@@ -398,6 +489,9 @@ def main():
     # compile-only: print XLA's memory analysis (temp/arg/output GB) and exit
     ap.add_argument("--analyze", action="store_true")
     ap.add_argument("--enc_chunk", type=int, default=5)
+    # xplane device trace of the measured step (single-regime runs only);
+    # pools print + land in <dir>/pools.json
+    ap.add_argument("--profile", default=None, metavar="TRACE_DIR")
     # "sub" remats each ResBlock/transformer individually: lower bwd peak
     # memory (the single-chip full-size knob) at more recompute
     ap.add_argument("--remat", default="block", choices=["block", "sub"])
@@ -417,15 +511,17 @@ def main():
     results = []
     for regime in regimes:
         try:
-            if regime == "full-split":
+            if regime.endswith("-split"):
                 r = bench_full_split(
                     m, args.measure_steps,
                     enc_chunk=args.enc_chunk, analyze_only=args.analyze,
+                    regime=regime,
                 )
             else:
                 r = bench_regime(
                     m, regime, args.accum, args.measure_steps,
                     analyze_only=args.analyze, enc_chunk=args.enc_chunk,
+                    profile_dir=args.profile if len(regimes) == 1 else None,
                 )
         except Exception as e:  # OOM etc: record, keep going
             r = {"regime": regime, "error": f"{type(e).__name__}: {str(e)[:2000]}"}
