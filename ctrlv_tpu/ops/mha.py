@@ -120,6 +120,30 @@ def _xla_mha(q3, k3, v3, heads, scale):
     return out.reshape(b, sq, hd)
 
 
+def _xla_mha_sliced(q3, k3, v3, heads, scale):
+    """Head-sliced XLA attention: identical math to `_xla_mha`, but each
+    head is a lane-slice (B, S, d) batched dot instead of one BSHD einsum.
+
+    Used as the custom-vjp RECOMPUTE path: the einsum form's vjp
+    materializes the [B,S,H,D]<->[B,H,*,S] relayouts in the backward —
+    the r5 training profile shows ~170 ms/step of exactly those pools
+    (`fusion bf16[25,5,2560,64]` etc., PERF.md round-5 training profile).
+    Slices and concats have no relayout; per-head logits are the same
+    f32 (B, Sq, Sk) XLA materializes anyway."""
+    hd = q3.shape[-1]
+    d = hd // heads
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jnp.einsum(
+            "bqd,bkd->bqk", q3[..., sl], k3[..., sl],
+            preferred_element_type=jnp.float32,
+        )
+        w = jax.nn.softmax(logits * scale, axis=-1).astype(q3.dtype)
+        outs.append(jnp.einsum("bqk,bkd->bqd", w, v3[..., sl]))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _mha_forward(q3, k3, v3, heads, scale):
     b, sq, hd = q3.shape
     sk = k3.shape[1]
@@ -160,7 +184,9 @@ def _mha_fwd(q3, k3, v3, heads, scale):
 
 def _mha_bwd(heads, scale, res, g):
     q3, k3, v3 = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_mha(q_, k_, v_, heads, scale), q3, k3, v3)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_mha_sliced(q_, k_, v_, heads, scale), q3, k3, v3
+    )
     return vjp(g)
 
 
@@ -265,7 +291,9 @@ def _small_fwd(q3, k3, v3, heads, scale):
 
 def _small_bwd(heads, scale, res, g):
     q3, k3, v3 = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_mha(q_, k_, v_, heads, scale), q3, k3, v3)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_mha_sliced(q_, k_, v_, heads, scale), q3, k3, v3
+    )
     return vjp(g)
 
 

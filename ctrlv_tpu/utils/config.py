@@ -101,6 +101,13 @@ class Config:
     # cap on frames per batched VAE-decode call (None = one batched call);
     # bounds peak decode memory on tight-HBM chips — TPU extension
     max_decode_frames: Optional[int] = None
+    # cap on frames per VAE-ENCODE call inside the training step (None =
+    # one batched call). Chunking bounds the encoder's full-res activation
+    # spike on tight-HBM regimes (full finetune wants 5) but costs real
+    # throughput — the r5 profile measured the chunked lax.map loop at
+    # 297 ms of a 1.09 s temporal micro-step; unchunked is -16% step
+    # (PERF.md round-5 training profile) — TPU extension
+    vae_encode_chunk: Optional[int] = None
 
     # --- checkpointing / eval ------------------------------------------
     checkpointing_steps: int = 500

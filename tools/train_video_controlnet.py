@@ -63,6 +63,7 @@ def main(cfg=None):
             conditioning_dropout_prob=cfg.conditioning_dropout_prob,
             fps=cfg.fps,
             noise_aug_strength=cfg.noise_aug_strength,
+            encode_chunk=cfg.vae_encode_chunk,
         ),
         donate_argnums=(0,),
     )

@@ -105,6 +105,7 @@ def main(cfg=None):
         fps=cfg.fps,
         noise_aug_strength=cfg.noise_aug_strength,
         lora=cfg.enable_lora,
+        encode_chunk=cfg.vae_encode_chunk,
     )
     if cfg.split_train_step:
         # Two compiled programs per micro-step (fwd+bwd / optimizer update),
