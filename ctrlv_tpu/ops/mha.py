@@ -34,7 +34,23 @@ _MAX_KV_BYTES = 8 * 1024 * 1024
 _MAX_LIVE_BYTES = 12 * 1024 * 1024
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
+# Scheduling/tiling tune knobs for the spatial kernel, settable for A/B
+# profiling (tools/profile_denoise.py --mha_sched/--mha_block_q):
+#   sched "pipe3": issue head h+1's logits BEFORE head h's softmax — max
+#     MXU/VPU overlap, but THREE live (bq, Sk) f32 tiles (l_cur, l_next, p).
+#   sched "pipe2": issue head h+1's logits AFTER head h's exp, so l_cur is
+#     dead by then — TWO live tiles, freeing VMEM for block_q 256 (fewer,
+#     larger programs; the exp still overlaps the PREVIOUS head's AV matmul).
+_MHA_TUNE = {"sched": "pipe3", "block_q": 0}  # block_q 0 = auto
+
+
+def set_mha_tuning(sched: str = "pipe3", block_q: int = 0) -> None:
+    assert sched in ("pipe3", "pipe2"), sched
+    _MHA_TUNE["sched"] = sched
+    _MHA_TUNE["block_q"] = block_q
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float, sched: str):
     """One-pass blocked attention, heads packed in the lane axis.
 
     K/V stay fully VMEM-resident per (batch, q-tile) program; each head's
@@ -45,9 +61,9 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
     Two scheduling tricks vs the naive loop:
     - the softmax normalization divide is folded into the (bq, D) output
       (one multiply per output element instead of one divide per score);
-    - head h+1's logits matmul is issued BEFORE head h's softmax+AV
-      consume their tile, giving the scheduler an independent MXU op to
-      overlap with the VPU exp pass (software pipeline over heads).
+    - head h+1's logits matmul is issued around head h's softmax (see
+      _MHA_TUNE for the pipe3/pipe2 placement trade-off), giving the
+      scheduler an independent MXU op to overlap with the VPU exp pass.
     """
     q = q_ref[0]  # (bq, H*D)
     k = k_ref[0]  # (Sk, H*D)
@@ -72,9 +88,13 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
 
     l_cur = logits(0)
     for h in range(heads):
-        l_next = logits(h + 1) if h + 1 < heads else None  # MXU, independent
+        if sched == "pipe3":
+            l_next = logits(h + 1) if h + 1 < heads else None  # MXU, independent
         m = jnp.max(l_cur, axis=-1, keepdims=True)
-        p = jnp.exp2(l_cur - m)  # VPU — overlaps l_next's matmul
+        p = jnp.exp2(l_cur - m)  # VPU — overlaps an in-flight matmul
+        if sched == "pipe2":
+            # l_cur is dead here; only p + l_next alive (2 f32 tiles)
+            l_next = logits(h + 1) if h + 1 < heads else None
         r = 1.0 / jnp.sum(p, axis=-1, keepdims=True)  # (bq, 1)
         sl = slice(h * d, (h + 1) * d)
         o = jnp.dot(p.astype(o_ref.dtype), v[:, sl], preferred_element_type=jnp.float32)
@@ -82,10 +102,19 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float):
         l_cur = l_next
 
 
+def _live_logit_tiles() -> int:
+    return 3 if _MHA_TUNE["sched"] == "pipe3" else 2
+
+
 def _pick_block_q(seq_q: int) -> int:
-    # 128 first: the head-pipelined kernel keeps two (bq, Sk) f32 logits
-    # tiles + one exp tile alive; 256 blocks overflow VMEM by ~0.3 MB.
-    for cand in (128, 256, 512):
+    override = _MHA_TUNE["block_q"]
+    if override and seq_q % override == 0:
+        return override
+    # 128 first for pipe3: it keeps two (bq, Sk) f32 logits tiles + one exp
+    # tile alive; 256 blocks overflow VMEM by ~0.3 MB. pipe2's two live
+    # tiles admit 256 (fewer, larger programs).
+    cands = (128, 256, 512) if _MHA_TUNE["sched"] == "pipe3" else (256, 128, 512)
+    for cand in cands:
         if seq_q % cand == 0:
             return cand
     return 0
@@ -99,11 +128,11 @@ def mha_supported(sq: int, sk: int, hd: int, heads: int, itemsize: int) -> bool:
     if not (hd % heads == 0 and d in (64, 128) and sq >= 1024 and sk >= 1024
             and sk % 128 == 0 and bq > 0):
         return False
-    # VMEM residency: K+V slabs plus ~3 live f32 (block_q, Sk) score/exp
-    # tiles from the head-pipelined softmax (two logits tiles + one exp
-    # tile). Small-hd/long-Sk shapes pass a KV-only gate yet blow VMEM.
+    # VMEM residency: K+V slabs plus the live f32 (block_q, Sk) score/exp
+    # tiles of the head-pipelined softmax (3 for pipe3, 2 for pipe2).
+    # Small-hd/long-Sk shapes pass a KV-only gate yet blow VMEM.
     kv_bytes = 2 * sk * hd * itemsize
-    logits_bytes = 3 * bq * sk * 4
+    logits_bytes = _live_logit_tiles() * bq * sk * 4
     return kv_bytes <= _MAX_KV_BYTES and kv_bytes + logits_bytes <= _MAX_LIVE_BYTES
 
 
@@ -152,7 +181,7 @@ def _mha_forward(q3, k3, v3, heads, scale):
     grid = (b, sq // block_q)
     d = hd // heads
     return pl.pallas_call(
-        functools.partial(_mha_kernel, heads=heads, scale=scale),
+        functools.partial(_mha_kernel, heads=heads, scale=scale, sched=_MHA_TUNE["sched"]),
         out_shape=jax.ShapeDtypeStruct((b, sq, hd), q3.dtype),
         grid=grid,
         interpret=interpret,

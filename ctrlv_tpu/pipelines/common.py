@@ -20,6 +20,27 @@ import jax
 import jax.numpy as jnp
 
 from ..models.clip_vision import clip_preprocess
+from ..utils.packed_params import PackedParams, unpack_tree
+
+
+def split_packed(params_tuple):
+    """(args, specs) for a tuple of param trees, any of which may be a
+    PackedParams. args hold what crosses the jit boundary (flat buffers
+    for packed entries — the point: the consumer program instantiates a
+    handful of outputs/inputs instead of ~2800; PERF.md round-5); specs
+    are the static unpack recipes (None for plain trees)."""
+    args = tuple(
+        p.buffers if isinstance(p, PackedParams) else p for p in params_tuple
+    )
+    specs = tuple(
+        p.spec if isinstance(p, PackedParams) else None for p in params_tuple
+    )
+    return args, specs
+
+
+def resolve_params(p, spec):
+    """Inside a traced program: rebuild the tree from packed buffers."""
+    return unpack_tree(p, spec) if spec is not None else p
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,6 +32,8 @@ from .common import (
     guidance_linspace,
     postprocess_frames,
     prepare_latents,
+    resolve_params,
+    split_packed,
 )
 
 
@@ -61,7 +63,13 @@ class StableVideoControlPipeline:
         self.mesh = mesh
         self._jitted = {}
 
-    def _sample_fn(self, cfg: SamplingConfig, cond_is_latent: bool, output_latents: bool = False):
+    def _sample_fn(
+        self,
+        cfg: SamplingConfig,
+        cond_is_latent: bool,
+        output_latents: bool = False,
+        param_specs=(None, None, None, None),
+    ):
         sched_state = self.scheduler.set_timesteps(cfg.num_inference_steps)
 
         def sample(
@@ -74,6 +82,13 @@ class StableVideoControlPipeline:
             rng,
             guidance_minmax,
         ):
+            # Packed params (utils/packed_params.py) cross the jit boundary
+            # as flat per-dtype buffers and unpack here, inside the trace —
+            # the ~2800-leaf tree never exists as separate device arrays.
+            unet_params = resolve_params(unet_params, param_specs[0])
+            ctrl_params = resolve_params(ctrl_params, param_specs[1])
+            vae_params = resolve_params(vae_params, param_specs[2])
+            clip_params = resolve_params(clip_params, param_specs[3])
             batch = image.shape[0]
             do_cfg = cfg.do_cfg
             rng_noise, rng_lat = jax.random.split(rng)
@@ -184,22 +199,19 @@ class StableVideoControlPipeline:
             min_guidance_scale=0.0,
             max_guidance_scale=2.0 if cfg.do_cfg else 1.0,
         )
-        key = (cfg, cond_is_latent, latent_out, image.shape, cond_images.shape)
-        args = (
-            self.unet_params,
-            self.controlnet_params,
-            self.vae_params,
-            self.clip_params,
-            image,
-            cond_images,
-            rng,
-            guidance_minmax,
+        param_args, param_specs = split_packed(
+            (self.unet_params, self.controlnet_params, self.vae_params, self.clip_params)
         )
+        spec_tag = tuple(s.digest() if s is not None else None for s in param_specs)
+        key = (cfg, cond_is_latent, latent_out, image.shape, cond_images.shape, spec_tag)
+        args = param_args + (image, cond_images, rng, guidance_minmax)
         if key not in self._jitted:
             from ..utils.compile_options import get_compiler_options
 
             copts = get_compiler_options()
-            fn = self._sample_fn(cfg, cond_is_latent, output_latents=latent_out)
+            fn = self._sample_fn(
+                cfg, cond_is_latent, output_latents=latent_out, param_specs=param_specs
+            )
             if self.mesh is not None:
                 base = jax.jit(fn, compiler_options=copts)
                 def fn_meshed(*args, _base=base):

@@ -35,6 +35,8 @@ from .common import (
     guidance_linspace,
     postprocess_frames,
     prepare_latents,
+    resolve_params,
+    split_packed,
 )
 
 
@@ -63,12 +65,22 @@ class VideoDiffusionPipeline:
         self._jitted = {}
 
     # ------------------------------------------------------------------
-    def _sample_fn(self, cfg: SamplingConfig, with_bbox: bool, output_latents: bool = False):
+    def _sample_fn(
+        self,
+        cfg: SamplingConfig,
+        with_bbox: bool,
+        output_latents: bool = False,
+        param_specs=(None, None, None),
+    ):
         sched_state = self.scheduler.set_timesteps(cfg.num_inference_steps)
 
         def sample(
             unet_params, vae_params, clip_params, image, bbox_images, rng, guidance_minmax
         ):
+            # Packed params unpack inside the trace (utils/packed_params.py).
+            unet_params = resolve_params(unet_params, param_specs[0])
+            vae_params = resolve_params(vae_params, param_specs[1])
+            clip_params = resolve_params(clip_params, param_specs[2])
             batch = image.shape[0]
             do_cfg = cfg.do_cfg
             rng_noise, rng_lat = jax.random.split(rng)
@@ -181,22 +193,20 @@ class VideoDiffusionPipeline:
             # placeholder, never read by the with_bbox=False trace — avoids
             # materializing a (B,F,H,W,3) zeros array per call
             bbox_images = jnp.zeros((1,), jnp.float32)
-        key = (cfg, with_bbox, latent_out, image.shape,
-               None if not with_bbox else bbox_images.shape)
-        args = (
-            self.unet_params,
-            self.vae_params,
-            self.clip_params,
-            image,
-            bbox_images,
-            rng,
-            guidance_minmax,
+        param_args, param_specs = split_packed(
+            (self.unet_params, self.vae_params, self.clip_params)
         )
+        spec_tag = tuple(s.digest() if s is not None else None for s in param_specs)
+        key = (cfg, with_bbox, latent_out, image.shape,
+               None if not with_bbox else bbox_images.shape, spec_tag)
+        args = param_args + (image, bbox_images, rng, guidance_minmax)
         if key not in self._jitted:
             from ..utils.compile_options import get_compiler_options
 
             copts = get_compiler_options()
-            fn = self._sample_fn(cfg, with_bbox, output_latents=latent_out)
+            fn = self._sample_fn(
+                cfg, with_bbox, output_latents=latent_out, param_specs=param_specs
+            )
             if self.mesh is not None:
                 base = jax.jit(fn, compiler_options=copts)
                 def fn_meshed(*args, _base=base):

@@ -58,6 +58,24 @@ def test_mha_matches_xla(dtype, atol):
     )
 
 
+@pytest.mark.parametrize("sched,block_q", [("pipe2", 0), ("pipe2", 256), ("pipe3", 256)])
+def test_mha_tuning_variants_match_xla(sched, block_q):
+    """The schedule/tile knobs (set_mha_tuning) only reorder the head
+    pipeline — numerics must be identical to the default kernel."""
+    from ctrlv_tpu.ops.mha import set_mha_tuning
+
+    q, k, v = _qkv(2, 1024, 128, jnp.float32)
+    try:
+        set_mha_tuning(sched, block_q)
+        o = mha_attention(q, k, v, 2, 64**-0.5)
+    finally:
+        set_mha_tuning()
+    r = _xla_mha(q, k, v, 2, 64**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(r, np.float32), atol=2e-5
+    )
+
+
 def test_mha_routing_rejects_small_seq():
     # XLA wins below S=1024 (PERF.md); make sure we don't route there.
     assert not mha_supported(640, 640, 640, 10, 2)

@@ -139,3 +139,40 @@ def test_guidance_sweep_reuses_compiled_sampler(bbox_pipe, ctrl_pipe):
               num_inference_steps=2, min_guidance_scale=1.5,
               max_guidance_scale=4.0)
     assert len(ctrl_pipe._jitted) == m1  # no new entry for a new pair
+
+
+def test_packed_params_pipelines_match_tree_params(models, bbox_pipe, ctrl_pipe):
+    """PackedParams (flat-buffer params, unpacked inside the sampler trace —
+    the bench.py init path since round 5) must match plain param trees
+    through both pipelines. Values entering the models are bit-identical
+    (pack/unpack roundtrip is exact — test_packed_params.py); the full
+    samplers are compared at float tolerance because weights-as-slices
+    change XLA's fusion/reduction order (measured ~2e-5 max abs over a
+    2-step rollout on CPU), not the math."""
+    from ctrlv_tpu.utils.packed_params import PackedParams
+
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3), minval=-1, maxval=1)
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (1, F, H, W, 3), minval=-1, maxval=1)
+
+    packed_bbox = VideoDiffusionPipeline(
+        models["unet"], PackedParams.pack(models["unet_params"]),
+        models["vae"], PackedParams.pack(models["vae_params"]),
+        models["clip"], PackedParams.pack(models["clip_params"]),
+    )
+    a = bbox_pipe(image, bbox_images=cond, rng=jax.random.PRNGKey(3),
+                  num_frames=F, num_inference_steps=2)
+    b = packed_bbox(image, bbox_images=cond, rng=jax.random.PRNGKey(3),
+                    num_frames=F, num_inference_steps=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    packed_ctrl = StableVideoControlPipeline(
+        models["unet"], PackedParams.pack(models["unet_params"]),
+        models["ctrl"], PackedParams.pack(models["ctrl_params"]),
+        models["vae"], PackedParams.pack(models["vae_params"]),
+        models["clip"], PackedParams.pack(models["clip_params"]),
+    )
+    c = ctrl_pipe(image, cond, rng=jax.random.PRNGKey(3), num_frames=F,
+                  num_inference_steps=2)
+    d = packed_ctrl(image, cond, rng=jax.random.PRNGKey(3), num_frames=F,
+                    num_inference_steps=2)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=2e-4)

@@ -37,8 +37,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 H, W = 320, 512
 
+_BUILD_CACHE = {}
+
 
 def build_step():
+    """Jitted ControlNet+UNet denoise step + args at the flagship shape.
+
+    Cached per process: the un-jitted flax init dispatches thousands of
+    eager ops through the 26 ms/dispatch tunnel (~minutes), so callers
+    that sweep variants (sweep_compiler_options.py) must not re-init."""
+    if "step" not in _BUILD_CACHE:
+        _BUILD_CACHE["step"] = _build_step_uncached()
+    return _BUILD_CACHE["step"]
+
+
+def _build_step_uncached():
     from ctrlv_tpu.models import (
         ControlNetSpatioTemporal,
         UNetSpatioTemporalConditionModel,
@@ -133,7 +146,20 @@ def main():
         "--ff_max_cin", type=int, default=640,
         help="only route FF sites with c_in <= this (the HBM-bound shapes)",
     )
+    ap.add_argument(
+        "--mha_sched", default="", choices=["", "pipe3", "pipe2"],
+        help="spatial-attn kernel head-pipeline schedule (ops/mha.py)",
+    )
+    ap.add_argument(
+        "--mha_block_q", type=int, default=0,
+        help="spatial-attn kernel q-tile override (0 = auto)",
+    )
     args = ap.parse_args()
+
+    if args.mha_sched or args.mha_block_q:
+        from ctrlv_tpu.ops.mha import set_mha_tuning
+
+        set_mha_tuning(args.mha_sched or "pipe3", args.mha_block_q)
 
     if args.attention_impl != "auto":
         from ctrlv_tpu.ops import set_attention_impl

@@ -103,9 +103,9 @@ def main():
             r = {"name": name, "opts": opts, "error": f"{type(e).__name__}: {e}"[:300]}
         results.append(r)
         print(json.dumps(r), flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+        # incremental write: a timeout must not lose completed variants
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
     print(f"-> {args.out}")
 
 
