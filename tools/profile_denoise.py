@@ -75,8 +75,19 @@ def _build_step_uncached():
     cast = lambda tr: jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tr
     )
-    up = cast(unet.init(rng, lat_in, t, enc, tids))
-    cp = cast(ctrl.init(rng, lat_in, t, enc, tids, cond))
+
+    # ONE jitted init through the exec cache: un-jitted flax init dispatches
+    # thousands of eager ops through the tunnel (measured: the r5 sweep sat
+    # >25 min in init when the tunnel degraded to ~13 s/dispatch). Same
+    # models/shapes as __graft_entry__.entry, so the entry ritual warms it.
+    from ctrlv_tpu.utils.exec_cache import compile_cached
+
+    def init_models(k):
+        return cast(
+            (unet.init(k, lat_in, t, enc, tids), ctrl.init(k, lat_in, t, enc, tids, cond))
+        )
+
+    up, cp = compile_cached(init_models, (rng,), tag="prof_init")(rng)
 
     @jax.jit
     def step(up, cp, lat_in, t, enc, tids, cond):
