@@ -21,9 +21,15 @@ import jax
 # Proved out by tools/sweep_compiler_options.py on TPU v5e (see PERF.md
 # round-3 sweep table): raising the scoped-VMEM budget to 32 MiB is worth
 # ~2% on the denoise step (456.0 vs 465.2 ms/step; 64/96 MiB regress to
-# 472/477). The knob is sensitive and was measured single-chip on v5e ONLY,
-# so it is gated on the measured device kind — other TPU generations (with
-# different VMEM sizes) keep XLA defaults until a sweep proves them out.
+# 472/477). The round-5 sweep measured every remaining variant: the
+# experimental fusion cost model stacks −8 ms on the ISOLATED denoise
+# step (448.9 vs 456.8) but REGRESSES the full jitted sampler by
+# +0.15-0.25 s/clip (same-hour bench A/B, PERF.md round-5) — different
+# fusion choices inside the scan/decode context — so it is NOT shipped.
+# lhs and licm15 measured neutral alone and stacked. The knob is
+# sensitive and was measured single-chip on v5e ONLY, so it is gated on
+# the measured device kind — other TPU generations (with different VMEM
+# sizes) keep XLA defaults until a sweep proves them out.
 # Explicit set_compiler_options() always wins.
 _TPU_DEFAULTS: Dict[str, str] = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 # device_kind substrings the default was measured on ("TPU v5 lite" is the

@@ -18,6 +18,7 @@ Usage:
 
 import argparse
 import collections
+import functools
 import glob
 import json
 import os
@@ -89,7 +90,12 @@ def _build_step_uncached():
 
     up, cp = compile_cached(init_models, (rng,), tag="prof_init")(rng)
 
-    @jax.jit
+    # Profile under the SHIPPED sampler compiler options (vmem32 +
+    # fusion-cost-model on v5e) so pool readings describe the program the
+    # pipelines actually run; the sweep tool unwraps and passes its own.
+    from ctrlv_tpu.utils.compile_options import get_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=get_compiler_options())
     def step(up, cp, lat_in, t, enc, tids, cond):
         down_res, mid_res = ctrl.apply(
             cp, lat_in, t, enc, tids, cond, conditioning_scale=1.0
