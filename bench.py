@@ -73,8 +73,7 @@ def main():
     # executable's remote instantiation scales with output count
     # (~120-150 s on a hit for the 2800-output form; PERF.md round-5) —
     # and the sampler unpacks the tree inside its own traced program.
-    from ctrlv_tpu.utils.exec_cache import compile_cached
-    from ctrlv_tpu.utils.packed_params import PackedParams, pack_tree, tuple_specs
+    from ctrlv_tpu.utils.packed_params import packed_init
 
     def init_all(k):
         return cast_bf16(
@@ -86,24 +85,17 @@ def main():
             )
         )
 
-    def init_packed(k):
-        return tuple(pack_tree(t) for t in init_all(k))
-
-    specs = tuple_specs(init_all, (rng,))  # abstract shapes only, no device work
-    init_exec = compile_cached(init_packed, (rng,), tag="bench_init_packed")
-    bufs = init_exec(rng)
+    unet_params, ctrl_params, vae_params, clip_params = packed_init(
+        init_all, (rng,), tag="bench_init_packed"
+    )
     # Materialize ONE scalar to force the init program: under the axon
     # tunnel, block_until_ready returns early while deferred compile /
     # executable upload is still queued (measured: a "blocked" cold jit
     # returned in 0.00 s while the real work ran 208 s at host transfer —
     # PERF.md round-4). A host transfer is the only honest fence; all
     # outputs of one executable complete together, so one leaf suffices.
-    np.asarray(jnp.sum(bufs[0]["bfloat16"][:8].astype(jnp.float32)))
+    np.asarray(jnp.sum(unet_params.buffers["bfloat16"][:8].astype(jnp.float32)))
     init_s = time.time() - t0
-
-    unet_params, ctrl_params, vae_params, clip_params = (
-        PackedParams(b, s) for b, s in zip(bufs, specs)
-    )
     pipe = StableVideoControlPipeline(
         unet, unet_params, ctrl, ctrl_params, vae, vae_params, clip, clip_params
     )

@@ -65,16 +65,21 @@ def make_train_mesh(
     The reference's envelope is batch 1 (demo_train_video_box2video.sh), so
     on a multi-device host a default all-devices DP mesh cannot shard the
     batch at all — `device_put(batch, P("data"))` raises on divisibility.
-    With `n_data=None` this picks gcd(available, batch) data shards and
-    leaves the surplus devices out of the mesh (idle), which is the only
-    semantics-preserving option short of padding the batch with dead
-    samples. An explicit `n_data` that doesn't divide the batch is a clear
-    error instead of a shape crash deep inside device_put.
+    With `n_data=None` this picks the LARGEST divisor of the batch that
+    fits the available devices (the mesh need not use every device —
+    make_mesh takes a device slice), leaving the surplus idle, which is
+    the only semantics-preserving option short of padding the batch with
+    dead samples. gcd(avail, batch) would under-shard whenever a larger
+    batch divisor fits: batch 6 on 8 devices must run data=6, not
+    gcd=2 with six devices idle. An explicit `n_data` that doesn't divide
+    the batch is a clear error instead of a shape crash deep inside
+    device_put.
     """
     devices = list(devices if devices is not None else jax.devices())
     avail = max(len(devices) // max(n_frame, 1), 1)
     if n_data is None:
-        n_data = math.gcd(avail, max(int(global_batch), 1))
+        b = max(int(global_batch), 1)
+        n_data = max(d for d in range(1, min(avail, b) + 1) if b % d == 0)
     elif global_batch % n_data != 0:
         raise ValueError(
             f"--mesh_data {n_data} does not divide the global batch "

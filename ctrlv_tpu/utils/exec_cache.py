@@ -269,6 +269,7 @@ def _key(
     args: tuple,
     compiler_options: Optional[Dict[str, str]],
     key_extra: str,
+    closure_seed: Optional[Callable] = None,
 ) -> str:
     import flax
 
@@ -277,7 +278,7 @@ def _key(
         h.update(_source_hash().encode())
     else:
         try:
-            h.update(_closure_hash(fn).encode())
+            h.update(_closure_hash(closure_seed or fn).encode())
         except Exception as e:
             _dbg(f"closure scan failed ({type(e).__name__}: {e}); whole-package key")
             h.update(_source_hash().encode())
@@ -310,6 +311,7 @@ def compile_cached(
     compiler_options: Optional[Dict[str, str]] = None,
     key_extra: str = "",
     donate_argnums=None,
+    closure_seed: Optional[Callable] = None,
 ) -> Any:
     """jit(fn) compiled for `args`, with a cross-process executable cache.
 
@@ -319,7 +321,12 @@ def compile_cached(
     cache/serialization error falls back to a plain compile — the cache
     is an accelerator, never a correctness gate. Pass key_extra for any
     static configuration that changes the traced program without
-    changing arg shapes (e.g. repr of a SamplingConfig).
+    changing arg shapes (e.g. repr of a SamplingConfig). Pass
+    closure_seed when fn is a package-internal wrapper around a
+    caller-supplied function (utils/packed_params.py::packed_init): the
+    source-closure scan must seed from the CALLER's function, or edits
+    to the models the wrapped init actually builds would stop
+    invalidating the entry.
     """
     from jax.experimental import serialize_executable as se
 
@@ -337,6 +344,7 @@ def compile_cached(
     key = _key(
         fn, args, compiler_options,
         key_extra + (f"|donate{tuple(donate_argnums)}" if donate_argnums else ""),
+        closure_seed=closure_seed,
     )
     _dbg(f"{tag}: key {time.time() - t0:.1f}s -> {key}")
     path = os.path.join(cdir, f"{tag}-{key}.jexec")

@@ -43,11 +43,21 @@ class PackSpec:
     totals: Tuple[Tuple[str, int], ...]
 
     def digest(self) -> str:
-        """Stable hash for exec-cache keys (spec changes retrace)."""
-        h = hashlib.sha256()
-        h.update(str(self.treedef).encode())
-        h.update(repr(self.entries).encode())
-        return h.hexdigest()[:16]
+        """Stable hash for exec-cache keys (spec changes retrace).
+
+        Memoized on the instance: the pipelines recompute the jit-table
+        key (and hence this digest) on EVERY sampler call, and hashing
+        str(treedef) + repr of ~2800 entries is hundreds of KB of work.
+        The spec is immutable after construction, so cache via
+        object.__setattr__ (frozen dataclass; writes bypass __setattr__)."""
+        cached = self.__dict__.get("_digest")
+        if cached is None:
+            h = hashlib.sha256()
+            h.update(str(self.treedef).encode())
+            h.update(repr(self.entries).encode())
+            cached = h.hexdigest()[:16]
+            object.__setattr__(self, "_digest", cached)
+        return cached
 
 
 def make_pack_spec(tree) -> PackSpec:
@@ -119,3 +129,27 @@ def tuple_specs(init_fn, args) -> Tuple[PackSpec, ...]:
     param trees, computed abstractly (no device work)."""
     out = jax.eval_shape(init_fn, *args)
     return tuple(make_pack_spec(t) for t in out)
+
+
+def packed_init(init_fn, args, *, tag: str) -> Tuple[PackedParams, ...]:
+    """Run `init_fn(*args) -> tuple of param trees` through the exec
+    cache with its outputs packed into flat per-dtype buffers, returning
+    one PackedParams per tree.
+
+    This is THE entry-point wiring for cheap cached-executable
+    instantiation (bench.py, __graft_entry__.entry): the init program's
+    output count drops from ~2800 tensors to one buffer per dtype per
+    model, and the packing layout contract lives here instead of being
+    hand-rolled per entry script. The exec-cache closure scan seeds from
+    `init_fn` (closure_seed), NOT the internal wrapper — edits to the
+    models the init builds must keep invalidating the entry.
+    """
+    from .exec_cache import compile_cached
+
+    specs = tuple_specs(init_fn, args)
+
+    def _init_packed(*a):
+        return tuple(pack_tree(t, s) for t, s in zip(init_fn(*a), specs))
+
+    bufs = compile_cached(_init_packed, args, tag=tag, closure_seed=init_fn)(*args)
+    return tuple(PackedParams(b, s) for b, s in zip(bufs, specs))

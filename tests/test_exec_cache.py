@@ -83,17 +83,80 @@ def test_closure_files_scoped_to_real_deps():
 
 
 def test_closure_key_ignores_out_of_closure_edits(monkeypatch, tmp_path):
-    """Same fn, a tools/-style file changes -> key unchanged; a closure
-    file changes -> key changes. Simulated via the internal hash cache on
-    a temp copy of the seed module."""
+    """The key must CHANGE when a file inside the fn's import closure is
+    edited (stale-hit prevention — the r4 postmortem's bug class) and the
+    closure must EXCLUDE unrelated package files (so edits there cannot
+    invalidate the entry). Uses a temp seed module so the test can edit
+    sources without touching the repo."""
+    import importlib.util
+
+    seed = tmp_path / "probe_mod.py"
+    seed.write_text(
+        "from ctrlv_tpu.utils import packed_params\n"
+        "def probe(x):\n"
+        "    return x\n"
+    )
+    spec = importlib.util.spec_from_file_location("probe_mod", seed)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    exec_cache._closure_hash_cache.clear()
+    files = exec_cache.closure_files(mod.probe)
+    rel = {p.replace("\\", "/") for p in files}
+    # the closure follows the seed's ctrlv_tpu imports...
+    assert any(p.endswith("utils/packed_params.py") for p in rel), rel
+    # ...and excludes unrelated package files (edits there can't poison)
+    assert not any("models/" in p or "pipelines/" in p for p in rel), rel
+
+    h1 = exec_cache._closure_hash(mod.probe)
+    # per-seed memoization: identical without an edit
+    assert exec_cache._closure_hash(mod.probe) == h1
+    # an edit INSIDE the closure (even a comment) must change the hash
+    seed.write_text(seed.read_text() + "# edited\n")
+    exec_cache._closure_hash_cache.clear()
+    assert exec_cache._closure_hash(mod.probe) != h1
+    # an edit OUTSIDE the closure must NOT change the hash
+    (tmp_path / "unrelated.py").write_text("x = 1\n")
+    exec_cache._closure_hash_cache.clear()
+    h2 = exec_cache._closure_hash(mod.probe)
+    (tmp_path / "unrelated.py").write_text("x = 2\n")
+    exec_cache._closure_hash_cache.clear()
+    assert exec_cache._closure_hash(mod.probe) == h2
+
     x = jnp.ones((8, 8), jnp.float32)
-    k1 = exec_cache._key(f, (x,), None, "")
-    # cached per-seed: second call identical
-    assert exec_cache._key(f, (x,), None, "") == k1
     # legacy whole-package key is different from the closure key but stable
     monkeypatch.setenv("CTRLV_EXEC_CACHE_KEY", "all")
     k_all = exec_cache._key(f, (x,), None, "")
     assert exec_cache._key(f, (x,), None, "") == k_all
+
+
+def test_closure_seed_redirects_the_scan(tmp_path):
+    """packed_init wraps the caller's init fn in a package-internal
+    wrapper; compile_cached(closure_seed=...) must key on the CALLER's
+    closure, not the wrapper's, or model edits would stop invalidating
+    packed-init entries."""
+    import importlib.util
+
+    seed = tmp_path / "caller_mod.py"
+    seed.write_text(
+        "from ctrlv_tpu import models\n"
+        "def init(x):\n"
+        "    return x\n"
+    )
+    spec = importlib.util.spec_from_file_location("caller_mod", seed)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def wrapper(x):  # lives in tests/, like packed_init's lives in utils/
+        return mod.init(x)
+
+    x = jnp.ones((4,), jnp.float32)
+    exec_cache._closure_hash_cache.clear()
+    k_wrapped = exec_cache._key(wrapper, (x,), None, "", closure_seed=mod.init)
+    # editing the caller module must change the redirected key
+    seed.write_text(seed.read_text() + "# edited\n")
+    exec_cache._closure_hash_cache.clear()
+    assert exec_cache._key(wrapper, (x,), None, "", closure_seed=mod.init) != k_wrapped
 
 
 def test_corrupt_entry_falls_back(monkeypatch, tmp_path):

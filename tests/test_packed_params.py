@@ -73,3 +73,21 @@ def test_spec_digest_changes_with_layout():
     t1 = {"w": jnp.zeros((3, 5), jnp.float32)}
     t2 = {"w": jnp.zeros((5, 3), jnp.float32)}
     assert make_pack_spec(t1).digest() != make_pack_spec(t2).digest()
+
+
+def test_packed_init_matches_direct_init():
+    """packed_init (the shared bench/__graft_entry__ wiring) must hand
+    back the same values the raw init would, as PackedParams per tree."""
+    from ctrlv_tpu.utils.packed_params import packed_init
+
+    def init(k):
+        return (_tree(k), {"solo": jnp.ones((7,), jnp.bfloat16)})
+
+    key = jax.random.PRNGKey(5)
+    a, b = packed_init(init, (key,), tag="test_packed_init")
+    assert isinstance(a, PackedParams) and isinstance(b, PackedParams)
+    ref_a, ref_b = init(key)
+    for got, ref in ((a, ref_a), (b, ref_b)):
+        for x, y in zip(jax.tree.leaves(got.tree()), jax.tree.leaves(ref)):
+            assert x.dtype == y.dtype
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

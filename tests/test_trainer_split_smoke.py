@@ -60,10 +60,20 @@ def test_train_mesh_clamps_to_batch():
 
     assert make_train_mesh(1).shape["data"] == 1
     assert make_train_mesh(2).shape["data"] == 2
-    assert make_train_mesh(3).shape["data"] == 1  # gcd(8, 3)
+    # largest batch divisor that fits, NOT gcd(devices, batch): a batch-3
+    # run on 8 devices must use 3 of them (gcd would under-shard to 1)
+    assert make_train_mesh(3).shape["data"] == 3
+    assert make_train_mesh(5).shape["data"] == 5
+    assert make_train_mesh(6).shape["data"] == 6
+    assert make_train_mesh(7).shape["data"] == 7
     assert make_train_mesh(8).shape["data"] == 8
     assert make_train_mesh(16).shape["data"] == 8
+    # batch 9 on 8 devices: 9's largest divisor <= 8 is 3
+    assert make_train_mesh(9).shape["data"] == 3
     assert make_train_mesh(4, n_frame=2).shape == {"data": 4, "frame": 2}
+    # frame axis halves the device budget for data: batch 6, frame 2 ->
+    # 4 devices available per frame-shard, largest divisor of 6 that fits is 3
+    assert make_train_mesh(6, n_frame=2).shape == {"data": 3, "frame": 2}
     with pytest.raises(ValueError, match="does not divide"):
         make_train_mesh(3, n_data=2)
     # explicit divisor is honored

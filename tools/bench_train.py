@@ -383,7 +383,13 @@ def bench_full_split(m, measure_steps, enc_chunk=5, analyze_only=False, regime="
     from ctrlv_tpu.utils.exec_cache import compile_cached
 
     jit_upd = jax.jit(upd_fn, donate_argnums=(0, 1))
-    split_key = f"{regime}|enc{enc_chunk}|{_REMAT_TAG[0]}"
+    # attention impl is process-global state the closure hash can't see —
+    # omit it here and an --attention_impl run silently cache-HITs an
+    # executable compiled for the OTHER impl (bench_regime's key already
+    # includes it)
+    from ctrlv_tpu.ops import get_attention_impl
+
+    split_key = f"{regime}|enc{enc_chunk}|{_REMAT_TAG[0]}|attn={get_attention_impl()}"
 
     t0 = time.time()
     compiled_g = compile_cached(
@@ -509,6 +515,14 @@ def main():
     )
     m = build_models(remat_granularity=args.remat)
     results = []
+    if args.profile and (len(regimes) != 1 or regimes[0].endswith("-split")):
+        print(
+            "WARNING: --profile only traces a SINGLE non-split regime "
+            "(the -split path runs two separate executables whose "
+            "interleaving the single-step tracer would misattribute); "
+            "no trace will be written",
+            file=sys.stderr, flush=True,
+        )
     for regime in regimes:
         try:
             if regime.endswith("-split"):

@@ -79,8 +79,11 @@ def _build_step_uncached():
 
     # ONE jitted init through the exec cache: un-jitted flax init dispatches
     # thousands of eager ops through the tunnel (measured: the r5 sweep sat
-    # >25 min in init when the tunnel degraded to ~13 s/dispatch). Same
-    # models/shapes as __graft_entry__.entry, so the entry ritual warms it.
+    # >25 min in init when the tunnel degraded to ~13 s/dispatch). Its own
+    # entry (tag prof_init, UNPACKED outputs — the profiled step must take
+    # plain param trees, not packed buffers, to keep pool baselines
+    # comparable across rounds): the first profiler run per source state
+    # pays one cold init compile; reruns and sweep variants hit.
     from ctrlv_tpu.utils.exec_cache import compile_cached
 
     def init_models(k):
